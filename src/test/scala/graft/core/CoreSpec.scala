@@ -1,0 +1,211 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+class JsonSpec extends AnyFunSuite {
+  test("round-trip basic values") {
+    val s = """{"a":1,"b":[1.5,"x",null,true],"c":{"d":-2e3}}"""
+    val v = Json.parse(s)
+    assert(Json.parse(v.render) == v)
+  }
+  test("integral doubles print like JS") {
+    assert(Json.num(3.0) == "3")
+    assert(Json.num(-0.5) == "-0.5")
+    assert(Json.num(121.456) == "121.456")
+  }
+  test("string escapes") {
+    val s = "a\"b\\c\nd\te"
+    assert(Json.parse(Json.escape(s)) == JStr(s))
+  }
+}
+
+class WktWkbSpec extends AnyFunSuite {
+  val poly = GPolygon(Vector(
+    Vector(Pt(0, 0), Pt(10, 0), Pt(10, 10), Pt(0, 10), Pt(0, 0)),
+    Vector(Pt(2, 2), Pt(2, 4), Pt(4, 4), Pt(4, 2), Pt(2, 2))))
+  val geoms: List[Geom] = List(
+    GPoint(1.5, -2.25),
+    GLineString(Vector(Pt(0, 0), Pt(1, 1), Pt(2, 0.5))),
+    poly,
+    GMultiPoint(Vector(Pt(1, 2), Pt(3, 4))),
+    GMultiLineString(Vector(Vector(Pt(0, 0), Pt(1, 1)), Vector(Pt(2, 2), Pt(3, 3)))),
+    GMultiPolygon(Vector(poly.rings, Vector(Vector(Pt(20, 20), Pt(30, 20), Pt(25, 30), Pt(20, 20))))),
+    GCollection(Vector(GPoint(0, 0), GLineString(Vector(Pt(1, 1), Pt(2, 2))))))
+
+  test("WKT round-trip all kinds") {
+    geoms.foreach { g => assert(Wkt.parse(Wkt.write(g)) == g, Wkt.write(g)) }
+  }
+  test("WKB round-trip all kinds") {
+    geoms.foreach { g => assert(Wkb.read(Wkb.write(g)) == g) }
+  }
+  test("GeoJSON round-trip all kinds") {
+    geoms.foreach { g => assert(GeoJson.readGeom(GeoJson.write(g)) == g) }
+  }
+  test("WKT parses Z/M and EMPTY") {
+    assert(Wkt.parse("POINT Z (1 2 3)") == GPoint(1, 2))
+    assert(Wkt.parse("LINESTRING EMPTY") == GLineString(Vector.empty))
+    assert(Wkt.parse("MULTIPOINT (1 2, 3 4)") == GMultiPoint(Vector(Pt(1, 2), Pt(3, 4))))
+    assert(Wkt.parse("MULTIPOINT ((1 2), (3 4))") == GMultiPoint(Vector(Pt(1, 2), Pt(3, 4))))
+  }
+  test("GeoConvert parity subset: unknown tag -> empty collection (Q11)") {
+    assert(Wkt.wktToFeatureCollection("MULTIPOINT ((1 2))").features.isEmpty)
+    assert(Wkt.wktToFeatureCollection("GEOMETRYCOLLECTION (POINT (1 2))").features.isEmpty)
+    assert(Wkt.wktToFeatureCollection("POINT (121.5 25.0)").features.length == 1)
+  }
+  test("WKB matches JTS byte layout (oracle)") {
+    import org.locationtech.jts.io.{WKTReader, WKBWriter}
+    val wr = new WKBWriter(2, org.locationtech.jts.io.ByteOrderValues.LITTLE_ENDIAN)
+    val rd = new WKTReader()
+    for (g <- geoms) {
+      val ours = Wkb.write(g)
+      val jts = wr.write(rd.read(Wkt.write(g)))
+      assert(java.util.Arrays.equals(ours, jts), s"WKB mismatch for ${g.kind}")
+    }
+  }
+  test("property: random geoms round-trip (seeded)") {
+    val rnd = new Random(42)
+    (1 to 500).foreach { _ =>
+      val g = GPoint(rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 180 - 90)
+      assert(Wkb.read(Wkb.write(g)) == g)
+      assert(Wkt.parse(Wkt.write(g)) == g)
+      assert(GeoJson.readGeom(GeoJson.write(g)) == g)
+    }
+    (1 to 100).foreach { _ =>
+      val n = 3 + rnd.nextInt(20)
+      val g = GLineString(Vector.fill(n)(Pt(rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 180 - 90)))
+      assert(Wkb.read(Wkb.write(g)) == g)
+      assert(Wkt.parse(Wkt.write(g)) == g)
+      assert(GeoJson.readGeom(GeoJson.write(g)) == g)
+    }
+  }
+}
+
+class GeomOpsSpec extends AnyFunSuite {
+  val square = Vector(Pt(0, 0), Pt(10, 0), Pt(10, 10), Pt(0, 10), Pt(0, 0))
+  val hole = Vector(Pt(2, 2), Pt(2, 4), Pt(4, 4), Pt(4, 2), Pt(2, 2))
+
+  test("shoelace CW/CCW matches JTS orientation (oracle)") {
+    import org.locationtech.jts.algorithm.Orientation
+    import org.locationtech.jts.geom.Coordinate
+    val rings = List(square, square.reverse, hole, hole.reverse,
+      Vector(Pt(0, 0), Pt(5, 8), Pt(10, 0), Pt(0, 0)))
+    rings.foreach { ring =>
+      val coords = ring.map(p => new Coordinate(p.x, p.y)).toArray
+      val jtsCCW = Orientation.isCCW(coords)
+      assert(GeomOps.isClockwise(ring) == !jtsCCW, s"ring $ring")
+    }
+  }
+
+  test("PIP with holes") {
+    val rings = Vector(square, hole)
+    assert(GeomOps.pointInPolygon(5, 5, rings))
+    assert(!GeomOps.pointInPolygon(3, 3, rings)) // in hole
+    assert(!GeomOps.pointInPolygon(11, 5, rings))
+    assert(GeomOps.pointInPolygon(1, 1, rings))
+  }
+
+  test("property: PIP agrees with JTS on random triangles (seeded)") {
+    import org.locationtech.jts.geom.{GeometryFactory, Coordinate}
+    val gf = new GeometryFactory()
+    val rnd = new Random(7)
+    var checked = 0
+    while (checked < 300) {
+      def c() = rnd.nextDouble() * 100 - 50
+      val ring = { val ax = c(); val ay = c(); Vector(Pt(ax, ay), Pt(c(), c()), Pt(c(), c()), Pt(ax, ay)) }
+      val px = rnd.nextDouble() * 120 - 60; val py = rnd.nextDouble() * 120 - 60
+      val shell = gf.createPolygon(ring.map(p => new Coordinate(p.x, p.y)).toArray)
+      if (shell.isValid && shell.getArea > 1e-9) {
+        val onBoundary = shell.getBoundary.distance(gf.createPoint(new Coordinate(px, py))) < 1e-9
+        if (!onBoundary) {
+          val jts = shell.contains(gf.createPoint(new Coordinate(px, py)))
+          assert(GeomOps.pointInRing(px, py, ring) == jts, s"$ring  pt=($px,$py)")
+          checked += 1
+        }
+      }
+    }
+  }
+
+  test("ring assembly: CW shell + CCW hole -> polygon with hole") {
+    val cwSquare = if (GeomOps.isClockwise(square)) square else square.reverse
+    val ccwHole = if (!GeomOps.isClockwise(hole)) hole else hole.reverse
+    // Q7: single polygon but declaredParts>1 => MultiPolygon of one
+    val g = GeomOps.assembleRings(Vector(cwSquare, ccwHole), declaredParts = 2)
+    assert(g == GMultiPolygon(Vector(Vector(cwSquare, ccwHole))))
+    val g2 = GeomOps.assembleRings(Vector(cwSquare, ccwHole), declaredParts = 1)
+    assert(g2 == GPolygon(Vector(cwSquare, ccwHole)))
+  }
+
+  test("haversine sanity") {
+    // London -> Paris ~343.5 km
+    val d = GeomOps.haversine(-0.1278, 51.5074, 2.3522, 48.8566)
+    assert(d > 330000 && d < 350000)
+  }
+}
+
+class CellIndexSpec extends AnyFunSuite {
+  import CellIndex._
+
+  test("encode/decode round-trip (seeded property)") {
+    val rnd = new Random(11)
+    (1 to 1000).foreach { _ =>
+      val lon = rnd.nextDouble() * 359.99 - 180
+      val lat = rnd.nextDouble() * 179.99 - 90
+      val r = rnd.nextInt(29)
+      val c = encode(lon, lat, r)
+      assert(c >= 0)
+      assert(res(c) == r)
+      val (minx, miny, maxx, maxy) = bounds(c)
+      assert(lon >= minx - 1e-9 && lon <= maxx + 1e-9, s"lon $lon not in [$minx,$maxx] r=$r")
+      assert(lat >= miny - 1e-9 && lat <= maxy + 1e-9)
+      if (r > 0) {
+        assert(parent(c) == encode(lon, lat, r - 1))
+        assert(parentAt(c, 0) == encode(lon, lat, 0))
+      }
+    }
+  }
+
+  test("children partition parent") {
+    val c = encode(121.5, 25.0, 10)
+    val kids = children(c)
+    assert(kids.length == 4)
+    kids.foreach(k => assert(parent(k) == c))
+    assert(kids.distinct.length == 4)
+  }
+
+  test("ring sizes") {
+    val c = encode(0.0, 0.0, 10)
+    assert(ring(c, 0).toList == List(c))
+    assert(ring(c, 1).length == 8)
+    assert(ring(c, 2).length == 16)
+    assert(disk(c, 2).length == 25)
+  }
+
+  test("ring wraps longitude, clamps latitude") {
+    val c = encode(-179.99, 0.0, 5) // x = 0
+    assert(ring(c, 1).length == 8)  // wrapped, nothing dropped
+    val top = encode(0.0, 89.99, 5) // y = max
+    assert(ring(top, 1).length == 5) // top row dropped
+  }
+
+  test("cover superset: every vertex's cell is in the cover") {
+    val poly = GPolygon(Vector(Vector(Pt(10, 10), Pt(12.3, 10), Pt(12.3, 11.7), Pt(10, 11.7), Pt(10, 10))))
+    val cells = cover(poly, 10)
+    assert(cells.nonEmpty)
+    poly.foreachPt { p =>
+      assert(cells.contains(encode(p.x, p.y, res(cells(0)))))
+    }
+  }
+
+  test("cover coarsens under maxCells cap") {
+    val world = GPolygon(Vector(Vector(Pt(-179, -89), Pt(179, -89), Pt(179, 89), Pt(-179, 89), Pt(-179, -89))))
+    val cells = cover(world, 12, maxCells = 64)
+    assert(cells.length <= 64)
+  }
+
+  test("z-order: morton order is space-filling within a block") {
+    val c00 = encodeXY(0, 0, 2); val c10 = encodeXY(1, 0, 2)
+    val c01 = encodeXY(0, 1, 2); val c11 = encodeXY(1, 1, 2)
+    assert(List(c00, c10, c01, c11).sorted == List(c00, c10, c01, c11))
+  }
+}
