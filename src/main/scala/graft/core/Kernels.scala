@@ -1,0 +1,175 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Static kernel facade for Catalyst codegen: a Scala object with no
+  * companion class emits static forwarders, so generated Java (Janino) can
+  * call `graft.core.Kernels.cellId(...)` directly inside whole-stage codegen.
+  * Every hot per-row kernel lives here; expressions delegate to these.
+  */
+object Kernels {
+
+  // ---- cell index ----
+
+  def cellId(lon: Double, lat: Double, res: Int): Long = CellIndex.encode(lon, lat, res)
+  def cellRes(cell: Long): Int = CellIndex.res(cell)
+  def cellParentAt(cell: Long, toRes: Int): Long = CellIndex.parentAt(cell, toRes)
+  def cellRing(cell: Long, k: Int): Array[Long] = CellIndex.ring(cell, k)
+  def cellDisk(cell: Long, k: Int): Array[Long] = CellIndex.disk(cell, k)
+  def cellCenterLon(cell: Long): Double = CellIndex.center(cell)._1
+  def cellCenterLat(cell: Long): Double = CellIndex.center(cell)._2
+
+  /** splitmix64 finalizer — deterministic key mixing (geometry derivation
+    * from phash, salting, synthetic data). */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** phash → deterministic lon in [−180, 180). */
+  def phashLon(phash: Long): Double =
+    (mix64(phash) >>> 11).toDouble / (1L << 53).toDouble * 360.0 - 180.0
+
+  /** phash → deterministic lat in [−85, 85). */
+  def phashLat(phash: Long): Double =
+    (mix64(phash + 0x5851F42D4C957F2DL) >>> 11).toDouble / (1L << 53).toDouble * 170.0 - 85.0
+
+  // ---- distances ----
+
+  def sqDist(ax: Double, ay: Double, bx: Double, by: Double): Double =
+    GeomOps.sqDist(ax, ay, bx, by)
+
+  def haversine(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
+    GeomOps.haversine(lon1, lat1, lon2, lat2)
+
+  // ---- WKB kernels (operate directly on bytes; no ADT allocation) ----
+
+  /** 21-byte little-endian WKB point. */
+  def pointWkb(x: Double, y: Double): Array[Byte] = {
+    val buf = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte); buf.putInt(1); buf.putDouble(x); buf.putDouble(y)
+    buf.array()
+  }
+
+  def wkbX(wkb: Array[Byte]): Double =
+    ByteBuffer.wrap(wkb, 5, 8).order(byteOrderOf(wkb)).getDouble
+  def wkbY(wkb: Array[Byte]): Double =
+    ByteBuffer.wrap(wkb, 13, 8).order(byteOrderOf(wkb)).getDouble
+
+  @inline private def byteOrderOf(wkb: Array[Byte]): ByteOrder =
+    if (wkb(0) == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+
+  /** Ray-casting containment evaluated directly over WKB bytes (Polygon /
+    * MultiPolygon / GeometryCollection; other kinds → false). Zero
+    * allocation on the hot join path.
+    */
+  def containsWkb(wkb: Array[Byte], px: Double, py: Double): Boolean = {
+    val buf = ByteBuffer.wrap(wkb)
+    containsAt(buf, px, py)
+  }
+
+  private def containsAt(buf: ByteBuffer, px: Double, py: Double): Boolean = {
+    val order = buf.get()
+    buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val rawType = buf.getInt
+    if ((rawType & 0x20000000) != 0) buf.getInt // skip SRID
+    rawType & 0xFF match {
+      case 3 => polygonContains(buf, px, py)
+      case 6 =>
+        val n = buf.getInt
+        var i = 0
+        var found = false
+        while (i < n) {
+          val o2 = buf.get()
+          buf.order(if (o2 == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+          buf.getInt // inner type (3)
+          if (polygonContains(buf, px, py)) found = true
+          i += 1
+        }
+        found
+      case 7 =>
+        val n = buf.getInt
+        var i = 0
+        var found = false
+        while (i < n) {
+          if (containsAt(buf, px, py)) found = true
+          i += 1
+        }
+        found
+      case 1 =>
+        val x = buf.getDouble; val y = buf.getDouble
+        x == px && y == py
+      case t =>
+        skipBody(buf, t)
+        false
+    }
+  }
+
+  /** Consumes one polygon body from the buffer; returns even-odd containment. */
+  private def polygonContains(buf: ByteBuffer, px: Double, py: Double): Boolean = {
+    val nRings = buf.getInt
+    var inside = false
+    var r = 0
+    while (r < nRings) {
+      val n = buf.getInt
+      var inRing = false
+      if (n > 0) {
+        val x0 = buf.getDouble; val y0 = buf.getDouble
+        var xj = x0; var yj = y0
+        var i = 1
+        while (i < n) {
+          val xi = buf.getDouble; val yi = buf.getDouble
+          if (((yi > py) != (yj > py)) && (px < (xj - xi) * (py - yi) / (yj - yi) + xi)) inRing = !inRing
+          xj = xi; yj = yi
+          i += 1
+        }
+        // close ring against the first vertex if not explicitly closed
+        if ((xj != x0 || yj != y0) &&
+          ((y0 > py) != (yj > py)) && (px < (xj - x0) * (py - y0) / (yj - y0) + x0)) inRing = !inRing
+      }
+      if (r == 0) { if (!inRing) { skipRings(buf, nRings - 1); return false }; inside = true }
+      else if (inRing) { skipRings(buf, nRings - 1 - r); return false }
+      r += 1
+    }
+    inside
+  }
+
+  private def skipRings(buf: ByteBuffer, count: Int): Unit = {
+    var r = 0
+    while (r < count) {
+      val n = buf.getInt
+      buf.position(buf.position() + n * 16)
+      r += 1
+    }
+  }
+
+  private def skipBody(buf: ByteBuffer, t: Int): Unit = t match {
+    case 1 => buf.position(buf.position() + 16)
+    case 2 =>
+      val n = buf.getInt; buf.position(buf.position() + n * 16)
+    case 3 => skipRings(buf, buf.getInt)
+    case 4 | 5 | 6 | 7 =>
+      val n = buf.getInt
+      var i = 0
+      while (i < n) {
+        val o2 = buf.get()
+        buf.order(if (o2 == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+        skipBody(buf, buf.getInt & 0xFF)
+        i += 1
+      }
+    case _ => ()
+  }
+
+  /** bbox of any WKB as (minX, minY, maxX, maxY) array. */
+  def wkbBbox(wkb: Array[Byte]): Array[Double] = {
+    val g = Wkb.read(wkb)
+    val (a, b, c, d) = g.bbox
+    Array(a, b, c, d)
+  }
+
+  /** Covering cells of a WKB geometry (superset cover; maxCells coarsens). */
+  def cellCover(wkb: Array[Byte], res: Int, maxCells: Int): Array[Long] =
+    CellIndex.cover(Wkb.read(wkb), res, maxCells)
+}

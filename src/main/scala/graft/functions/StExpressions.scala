@@ -1,0 +1,325 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{Kernels, Wkb, Wkt, GeoJson}
+
+/** Spatial Catalyst expressions. Hot scalar kernels (cell id, PIP, point
+  * synth, distances, mixing) generate code via static calls into
+  * `graft.core.Kernels`, so they stay inside whole-stage codegen; the
+  * string-codec expressions use CodegenFallback (cold path: document
+  * parsing, not per-join-row work).
+  *
+  * These subsume GeoConvert's WKT↔GeoJSON conversion layer
+  * (`/root/reference/src/WKT.js:4-105`) as columnar expressions.
+  */
+
+/** st_cellId(lon, lat, res) → Long — hierarchical cell at resolution. */
+case class StCellId(lon: Expression, lat: Expression, res: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def first: Expression = lon
+  override def second: Expression = lat
+  override def third: Expression = res
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Kernels.cellId(a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.core.Kernels.cellId($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(lon = f, lat = s, res = t)
+  override def prettyName: String = "st_cellid"
+}
+
+/** st_cellParent(cell, toRes) → Long — ancestor cell. */
+case class StCellParent(cell: Expression, toRes: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def left: Expression = cell
+  override def right: Expression = toRes
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cellParentAt(a.asInstanceOf[Long], b.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.Kernels.cellParentAt($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(cell = l, toRes = r)
+  override def prettyName: String = "st_cellparent"
+}
+
+/** st_cellRing(cell, k) → Array[Long] — Chebyshev shell at distance k. */
+case class StCellRing(cell: Expression, k: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def left: Expression = cell
+  override def right: Expression = k
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(Kernels.cellRing(a.asInstanceOf[Long], b.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(cell = l, k = r)
+  override def prettyName: String = "st_cellring"
+}
+
+/** st_cellDisk(cell, k) → Array[Long] — all cells within distance k. */
+case class StCellDisk(cell: Expression, k: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def left: Expression = cell
+  override def right: Expression = k
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(Kernels.cellDisk(a.asInstanceOf[Long], b.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(cell = l, k = r)
+  override def prettyName: String = "st_celldisk"
+}
+
+/** st_cellCover(wkb, res) → Array[Long] — covering cells (superset). */
+case class StCellCover(geom: Expression, res: Expression, maxCells: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def first: Expression = geom
+  override def second: Expression = res
+  override def third: Expression = maxCells
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(Kernels.cellCover(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(geom = f, res = s, maxCells = t)
+  override def prettyName: String = "st_cellcover"
+}
+
+/** st_point(lon, lat) → WKB point bytes. */
+case class StPoint(lon: Expression, lat: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def left: Expression = lon
+  override def right: Expression = lat
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.pointWkb(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.Kernels.pointWkb($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(lon = l, lat = r)
+  override def prettyName: String = "st_point"
+}
+
+/** st_x(wkbPoint) / st_y(wkbPoint) → Double. */
+case class StX(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Kernels.wkbX(v.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.core.Kernels.wkbX($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_x"
+}
+
+case class StY(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Kernels.wkbY(v.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.core.Kernels.wkbY($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_y"
+}
+
+/** st_contains(polyWkb, lon, lat) → Boolean — ray-cast PIP over raw WKB. */
+case class StContains(geom: Expression, lon: Expression, lat: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def first: Expression = geom
+  override def second: Expression = lon
+  override def third: Expression = lat
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Kernels.containsWkb(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.core.Kernels.containsWkb($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(geom = f, lon = s, lat = t)
+  override def prettyName: String = "st_contains"
+}
+
+/** st_haversine(lon1, lat1, lon2, lat2) → meters. */
+case class StHaversine(lon1: Expression, lat1: Expression, lon2: Expression, lat2: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def first: Expression = lon1
+  override def second: Expression = lat1
+  override def third: Expression = lon2
+  override def fourth: Expression = lat2
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    Kernels.haversine(a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.core.Kernels.haversine($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(lon1 = f, lat1 = s, lon2 = t, lat2 = q)
+  override def prettyName: String = "st_haversine"
+}
+
+/** st_sqdist(x1, y1, x2, y2) → planar squared euclidean distance (exact
+  * mul/add arithmetic — cross-engine deterministic for oracle checks). */
+case class StSqDist(x1: Expression, y1: Expression, x2: Expression, y2: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def first: Expression = x1
+  override def second: Expression = y1
+  override def third: Expression = x2
+  override def fourth: Expression = y2
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    Kernels.sqDist(a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.core.Kernels.sqDist($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(x1 = f, y1 = s, x2 = t, y2 = q)
+  override def prettyName: String = "st_sqdist"
+}
+
+/** mix64(key) → splitmix64-mixed Long (deterministic derivations, salting). */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Kernels.mix64(v.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.core.Kernels.mix64($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "mix64"
+}
+
+/** st_geomFromWKT(str) → WKB (full parser; null on malformed). */
+case class StGeomFromWkt(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    Wkt.parseOpt(v.asInstanceOf[UTF8String].toString).map(Wkb.write).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_geomfromwkt"
+}
+
+/** st_geomFromWKT_gc(str) → WKB via the GeoConvert-parity dialect
+  * (`WKT.js:23-38`): only POINT/LINESTRING/POLYGON; else null (Q11). */
+case class StGeomFromWktGc(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    Wkt.parseGeoConvert(v.asInstanceOf[UTF8String].toString).map(Wkb.write).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_geomfromwkt_gc"
+}
+
+/** st_asWKT(wkb) → String. */
+case class StAsWkt(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Wkt.write(Wkb.read(v.asInstanceOf[Array[Byte]])))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_aswkt"
+}
+
+/** st_geomFromGeoJSON(str) → WKB (null on malformed). */
+case class StGeomFromGeoJson(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    (try Some(GeoJson.readGeom(v.asInstanceOf[UTF8String].toString))
+     catch { case _: IllegalArgumentException => None }).map(Wkb.write).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_geomfromgeojson"
+}
+
+/** st_asGeoJSON(wkb) → String (JSON.stringify-compatible number printing). */
+case class StAsGeoJson(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(GeoJson.write(Wkb.read(v.asInstanceOf[Array[Byte]])))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_asgeojson"
+}
+
+/** Column API + SQL registration for all spatial functions. */
+object st {
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+  // Children are coerced here (the expressions declare no inputTypes —
+  // Spark's AbstractDataType is private[sql]); Catalyst's SimplifyCasts
+  // removes the no-op ones.
+  private def asD(e: Expression): Expression =
+    if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+  private def asI(e: Expression): Expression =
+    if (e.dataType == IntegerType) e else Cast(e, IntegerType)
+  private def asL(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  def cellId(lon: Column, lat: Column, res: Int): Column =
+    col(StCellId(asD(ex(lon)), asD(ex(lat)), Literal(res)))
+  def cellParent(cell: Column, toRes: Int): Column =
+    col(StCellParent(asL(ex(cell)), Literal(toRes)))
+  def cellRing(cell: Column, k: Column): Column =
+    col(StCellRing(asL(ex(cell)), asI(ex(k))))
+  def cellDisk(cell: Column, k: Column): Column =
+    col(StCellDisk(asL(ex(cell)), asI(ex(k))))
+  def cellCover(geom: Column, res: Int, maxCells: Int = 4096): Column =
+    col(StCellCover(ex(geom), Literal(res), Literal(maxCells)))
+  def point(lon: Column, lat: Column): Column =
+    col(StPoint(asD(ex(lon)), asD(ex(lat))))
+  def x(g: Column): Column = col(StX(ex(g)))
+  def y(g: Column): Column = col(StY(ex(g)))
+  def contains(geom: Column, lon: Column, lat: Column): Column =
+    col(StContains(ex(geom), asD(ex(lon)), asD(ex(lat))))
+  def haversine(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    col(StHaversine(asD(ex(lon1)), asD(ex(lat1)), asD(ex(lon2)), asD(ex(lat2))))
+  def sqDist(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    col(StSqDist(asD(ex(x1)), asD(ex(y1)), asD(ex(x2)), asD(ex(y2))))
+  def mix64(c: Column): Column = col(Mix64(asL(ex(c))))
+  def geomFromWkt(c: Column): Column = col(StGeomFromWkt(ex(c)))
+  def geomFromWktGc(c: Column): Column = col(StGeomFromWktGc(ex(c)))
+  def asWkt(c: Column): Column = col(StAsWkt(ex(c)))
+  def geomFromGeoJson(c: Column): Column = col(StGeomFromGeoJson(ex(c)))
+  def asGeoJson(c: Column): Column = col(StAsGeoJson(ex(c)))
+
+  /** Register all functions for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String)(b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    one("st_cellid") { e => StCellId(asD(e(0)), asD(e(1)), asI(e(2))) }
+    one("st_cellparent") { e => StCellParent(asL(e(0)), asI(e(1))) }
+    one("st_cellring") { e => StCellRing(asL(e(0)), asI(e(1))) }
+    one("st_celldisk") { e => StCellDisk(asL(e(0)), asI(e(1))) }
+    one("st_cellcover") { e =>
+      StCellCover(e(0), asI(e(1)), if (e.length > 2) asI(e(2)) else Literal(4096))
+    }
+    one("st_point") { e => StPoint(asD(e(0)), asD(e(1))) }
+    one("st_x") { e => StX(e(0)) }
+    one("st_y") { e => StY(e(0)) }
+    one("st_contains") { e => StContains(e(0), asD(e(1)), asD(e(2))) }
+    one("st_haversine") { e => StHaversine(asD(e(0)), asD(e(1)), asD(e(2)), asD(e(3))) }
+    one("st_sqdist") { e => StSqDist(asD(e(0)), asD(e(1)), asD(e(2)), asD(e(3))) }
+    one("mix64") { e => Mix64(asL(e(0))) }
+    one("st_geomfromwkt") { e => StGeomFromWkt(e(0)) }
+    one("st_geomfromwkt_gc") { e => StGeomFromWktGc(e(0)) }
+    one("st_aswkt") { e => StAsWkt(e(0)) }
+    one("st_geomfromgeojson") { e => StGeomFromGeoJson(e(0)) }
+    one("st_asgeojson") { e => StAsGeoJson(e(0)) }
+  }
+}
