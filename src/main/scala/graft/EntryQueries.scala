@@ -1,0 +1,425 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.st
+import graft.operators.{Ann, Dedup, SpatialOps, TextOps}
+import graft.sources.ImageTable
+
+/** The operator-coverage query suite behind [[SparkEntry]].
+  *
+  * Oracle-checked queries (DuckDB on the same parquet) are engineered for
+  * cross-engine bit-determinism: aggregates go through exact DECIMAL or
+  * integer arithmetic (float addition is order-dependent; decimal/int sums
+  * are associative), derived coordinates use integer-modular arithmetic, and
+  * similarity scores use integer-quantized dot products. Every aggregate /
+  * computed column carries the same alias in the Spark plan and the SQL.
+  */
+object EntryQueries {
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    st.registerAll(spark)
+    ImageTable.registerUdfs(spark)
+  }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** sf directory → synthetic image-table row count (2M × sf). */
+  def imageCount(dir: String): Long = {
+    val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    Math.max(1000L, (sf * 2e6).toLong)
+  }
+
+  // ---- shared derivations (modular integer arithmetic — DuckDB-replayable) ----
+
+  private def dLon(key: Column, a: Long): Column =
+    ((key * a) % 360000L).cast("double") / 1000.0 - 180.0
+  private def dLat(key: Column, b: Long): Column =
+    ((key * b) % 170000L).cast("double") / 1000.0 - 85.0
+
+  private def sqlLon(key: String, a: Long): String =
+    s"CAST(($key * $a) % 360000 AS DOUBLE) / 1000.0 - 180.0"
+  private def sqlLat(key: String, b: Long): String =
+    s"CAST(($key * $b) % 170000 AS DOUBLE) / 1000.0 - 85.0"
+
+  /** Rectangle r_regionkey → disjoint lon/lat band (bounds offset by 5e-4 so
+    * no 3-decimal derived point ever sits on a boundary). */
+  private def rectBounds(k: Column): (Column, Column, Column, Column) = (
+    k.cast("double") * 70.0 - 180.0 + 0.0005,
+    k.cast("double") * 30.0 - 80.0 + 0.0005,
+    k.cast("double") * 70.0 - 120.0 + 0.0005,
+    k.cast("double") * 30.0 - 55.0 + 0.0005)
+  private val sqlRect =
+    """SELECT r_regionkey,
+      |  CAST(r_regionkey AS DOUBLE)*70.0 - 180.0 + 0.0005 AS lon_min,
+      |  CAST(r_regionkey AS DOUBLE)*30.0 -  80.0 + 0.0005 AS lat_min,
+      |  CAST(r_regionkey AS DOUBLE)*70.0 - 120.0 + 0.0005 AS lon_max,
+      |  CAST(r_regionkey AS DOUBLE)*30.0 -  55.0 + 0.0005 AS lat_max
+      |FROM region""".stripMargin
+
+  // =================================================================
+  // Oracle-checked queries
+  // =================================================================
+
+  /** Pushdown-friendly aggregation (exact decimal sums). */
+  def q01Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(20, 4))).cast("double").as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(20, 4)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star join: orders ⋈ customer (shuffle) ⋈ nation+region (broadcast). */
+  def q02JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(20, 4))).cast("double").as("total"))
+  }
+  val q02Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** Per-group top-k via ranking window. */
+  def q03TopK(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "rn")
+  }
+  val q03Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice, rn FROM (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin
+
+  /** Cell-grid aggregation: the engine's Morton cell id (st_cellid →
+    * st_cellx/y) must reproduce plain floor arithmetic in DuckDB. */
+  def q04CellGrid(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val c = t(s, dir, "customer")
+      .withColumn("lon", dLon(col("c_custkey"), 7919L))
+      .withColumn("lat", dLat(col("c_custkey"), 104729L))
+      .withColumn("cell", st.cellId(col("lon"), col("lat"), 8))
+    c.groupBy(st.cellX(col("cell")).as("cell_x"), st.cellY(col("cell")).as("cell_y"))
+      .agg(count(lit(1)).as("n"))
+  }
+  val q04Sql: String =
+    s"""SELECT
+       |  CAST(FLOOR((${sqlLon("c_custkey", 7919L)} + 180.0)/360.0*256.0) AS BIGINT) AS cell_x,
+       |  CAST(FLOOR((${sqlLat("c_custkey", 104729L)} + 90.0)/180.0*256.0) AS BIGINT) AS cell_y,
+       |  COUNT(*) AS n
+       |FROM customer GROUP BY cell_x, cell_y""".stripMargin
+
+  /** Point-in-polygon join (cell prefilter + ray-cast residual) vs a plain
+    * BETWEEN join in DuckDB — rectangles make the exact predicate
+    * SQL-replayable while the Spark side exercises the real machinery. */
+  def q05PipJoin(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val (lonMin, latMin, lonMax, latMax) = rectBounds(col("r_regionkey"))
+    val polys = t(s, dir, "region").select(
+      col("r_regionkey"),
+      st.geomFromWkt(concat_ws("", lit("POLYGON (("),
+        lonMin, lit(" "), latMin, lit(", "),
+        lonMax, lit(" "), latMin, lit(", "),
+        lonMax, lit(" "), latMax, lit(", "),
+        lonMin, lit(" "), latMax, lit(", "),
+        lonMin, lit(" "), latMin, lit("))"))).as("geom"))
+    val pts = t(s, dir, "customer")
+      .withColumn("lon", dLon(col("c_custkey"), 7919L))
+      .withColumn("lat", dLat(col("c_custkey"), 104729L))
+    SpatialOps.pipJoin(pts, col("lon"), col("lat"), polys, "geom", res = 6)
+      .select("c_custkey", "r_regionkey")
+  }
+  val q05Sql: String =
+    s"""WITH rect AS ($sqlRect),
+       |pts AS (SELECT c_custkey,
+       |  ${sqlLon("c_custkey", 7919L)} AS lon,
+       |  ${sqlLat("c_custkey", 104729L)} AS lat FROM customer)
+       |SELECT c_custkey, r_regionkey FROM pts JOIN rect
+       |  ON lon > lon_min AND lon < lon_max AND lat > lat_min AND lat < lat_max""".stripMargin
+
+  /** Same join rows, produced by the salted cell equi-join (explicit skew
+    * path) — must byte-match the unsalted plan and the SQL oracle. */
+  def q06PipSalted(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val (lonMin, latMin, lonMax, latMax) = rectBounds(col("r_regionkey"))
+    val rects = t(s, dir, "region").select(col("r_regionkey"),
+      lonMin.as("lon_min"), latMin.as("lat_min"), lonMax.as("lon_max"), latMax.as("lat_max"))
+    val rectCells = rects.withColumn("cell", explode(st.cellCover(
+      st.geomFromWkt(concat_ws("", lit("POLYGON (("),
+        col("lon_min"), lit(" "), col("lat_min"), lit(", "),
+        col("lon_max"), lit(" "), col("lat_min"), lit(", "),
+        col("lon_max"), lit(" "), col("lat_max"), lit(", "),
+        col("lon_min"), lit(" "), col("lat_max"), lit(", "),
+        col("lon_min"), lit(" "), col("lat_min"), lit("))"))), 6)))
+    val pts = t(s, dir, "customer")
+      .withColumn("lon", dLon(col("c_custkey"), 7919L))
+      .withColumn("lat", dLat(col("c_custkey"), 104729L))
+    val hot = SpatialOps.hotCells(
+      pts, st.cellId(col("lon"), col("lat"), 6), threshold = 4)
+    SpatialOps.saltedCellJoin(
+        pts, st.cellId(col("lon"), col("lat"), 6), col("c_custkey"),
+        rectCells, col("cell"),
+        hot.toSeq, saltFactor = 4)
+      .filter(col("lon") > col("lon_min") && col("lon") < col("lon_max") &&
+        col("lat") > col("lat_min") && col("lat") < col("lat_max"))
+      .select("c_custkey", "r_regionkey")
+  }
+  val q06Sql: String = q05Sql
+
+  /** kNN via distributed ring expansion; oracle is brute-force SQL. Exact
+    * squared planar distance → identical ordering in both engines. */
+  def q07Knn(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val queries = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("qk"))
+      .withColumn("qlon", dLon(col("qk"), 4409L))
+      .withColumn("qlat", dLat(col("qk"), 9973L))
+    val pts = t(s, dir, "customer")
+      .withColumn("lon", dLon(col("c_custkey"), 7919L))
+      .withColumn("lat", dLat(col("c_custkey"), 104729L))
+    SpatialOps.knnJoin(s,
+        queries, col("qk"), col("qlon"), col("qlat"),
+        pts, col("c_custkey"), col("lon"), col("lat"),
+        k = 5, res = 6)
+      .select(col("q_id"), col("p_id"), col("dist"), col("rn"))
+  }
+  val q07Sql: String =
+    s"""WITH q AS (SELECT s_suppkey AS q_id,
+       |  ${sqlLon("s_suppkey", 4409L)} AS qlon,
+       |  ${sqlLat("s_suppkey", 9973L)} AS qlat FROM supplier),
+       |p AS (SELECT c_custkey AS p_id,
+       |  ${sqlLon("c_custkey", 7919L)} AS lon,
+       |  ${sqlLat("c_custkey", 104729L)} AS lat FROM customer)
+       |SELECT q_id, p_id, dist, rn FROM (
+       |  SELECT q.q_id, p.p_id,
+       |    (qlon-lon)*(qlon-lon) + (qlat-lat)*(qlat-lat) AS dist,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY (qlon-lon)*(qlon-lon) + (qlat-lat)*(qlat-lat), p.p_id) AS rn
+       |  FROM q CROSS JOIN p) WHERE rn <= 5""".stripMargin
+
+  /** Exact dedup by content hash. */
+  def q08DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), col("text"), col("doc_id"))
+  val q08Sql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Text metrics per language (integer sums — exact). */
+  def q09TextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("lang"),
+        length(col("text")).as("chars"),
+        TextOps.tokenCountWs(col("text")).cast("long").as("toks"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("digits"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("sum_chars"),
+        sum(col("toks")).as("sum_tokens"),
+        sum(col("digits")).as("sum_digits"))
+  }
+  val q09Sql: String =
+    raw"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS sum_digits
+         |FROM documents GROUP BY lang""".stripMargin
+
+  /** Running (cumulative) sum per user — exact decimal accumulation. */
+  def q10Running(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(col("event_id"), col("user_id"),
+      sum(col("value").cast(DecimalType(20, 6))).over(w).cast("double").as("running"))
+  }
+  val q10Sql: String =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      |FROM events""".stripMargin
+
+  /** Tumbling 1-hour event-time window (batch semantics == the streaming
+    * demo in the test suite). */
+  def q11Tumbling(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 6))).cast("double").as("total"))
+      .select(col("win.start").as("hour_start"), col("event_type"), col("n"), col("total"))
+  }
+  val q11Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total
+      |FROM events GROUP BY hour_start, event_type""".stripMargin
+
+  /** Brute-force ANN top-k by integer-quantized dot product. */
+  def q12AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.bruteTopK(
+      emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 10)
+  }
+  val q12Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS id, embedding AS emb FROM embeddings)
+      |SELECT q_id, id, score, rank FROM (
+      |  SELECT q_id, id,
+      |    CAST(list_sum(list_transform(list_zip(emb, q_emb),
+      |      x -> CAST(ROUND(CAST(x[1] AS DOUBLE)*1000) AS BIGINT)
+      |         * CAST(ROUND(CAST(x[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+      |      CAST(list_sum(list_transform(list_zip(emb, q_emb),
+      |        x -> CAST(ROUND(CAST(x[1] AS DOUBLE)*1000) AS BIGINT)
+      |           * CAST(ROUND(CAST(x[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) DESC, id) AS rank
+      |  FROM c CROSS JOIN q WHERE id <> q_id) WHERE rank <= 10""".stripMargin
+
+  // =================================================================
+  // Rows-only queries (no SQL-expressible oracle; correctness pinned in
+  // ScalaTest instead)
+  // =================================================================
+
+  /** Flagship: synthetic image table → phash-derived points → PIP join with
+    * district polygons → z-ordered tile assignment → per-tile stats. */
+  def q20ImagePipeline(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val n = imageCount(dir)
+    val images = ImageTable.synthesize(s, n).toDF()
+      .withColumn("lon", SpatialOps.phashLon(col("phash")))
+      .withColumn("lat", SpatialOps.phashLat(col("phash")))
+    val polys = districtPolygons(s)
+    val joined = SpatialOps.pipJoin(
+      images.select("image_id", "phash", "lon", "lat"),
+      col("lon"), col("lat"), polys, "geom", res = 7)
+    SpatialOps.tileAssign(joined, col("lon"), col("lat"),
+        tileRes = 7, numPartitions = 32, sortCols = Seq("image_id"))
+      .groupBy(col("district"), col("tile"))
+      .agg(count(lit(1)).as("n_images"),
+        approx_count_distinct(col("phash")).as("approx_phashes"))
+  }
+
+  /** District polygon dictionary: 3 hotspot hexagons + coarse world bands. */
+  def districtPolygons(s: SparkSession): DataFrame = {
+    import graft.core.{Wkb, GPolygon, Pt}
+    val hexes = ImageTable.hotspots.zipWithIndex.map { case ((lon, lat), i) =>
+      val r = 0.25
+      val ring = (0 to 6).map { k =>
+        val a = Math.PI / 3 * k
+        Pt(lon + r * Math.cos(a), lat + r * Math.sin(a))
+      }.toVector
+      (s"hotspot_$i", Wkb.write(GPolygon(Vector(ring))))
+    }
+    val bands = (0 until 12).map { i =>
+      val lonMin = -180.0 + i * 30.0
+      val ring = Vector(
+        Pt(lonMin, -85.0), Pt(lonMin + 30.0, -85.0),
+        Pt(lonMin + 30.0, 85.0), Pt(lonMin, 85.0), Pt(lonMin, -85.0))
+      (s"band_$i", Wkb.write(GPolygon(Vector(ring))))
+    }
+    import s.implicits._
+    (hexes ++ bands).toSeq.toDF("district", "geom")
+  }
+
+  /** MinHash LSH candidates + exact Jaccard verification. */
+  def q21MinhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val cands = Dedup.minhashCandidates(d, col("doc_id"), col("text"))
+    Dedup.jaccardVerify(cands, d, col("doc_id"), col("text"), minJaccard = 0.5)
+  }
+
+  /** SimHash near-dup pairs. */
+  def q22Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 16)
+
+  /** Language-ID + quality scoring + token counts (heuristic lenses). */
+  def q23Quality(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), col("lang"),
+      TextOps.langIdHeuristic(col("text")).as("lang_pred"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.tokenCountBpe(col("text")).as("bpe_tokens"),
+      TextOps.fingerprint(col("text")).as("fp"))
+  }
+
+  /** IVF-style bucketed ANN (approximate; recall vs brute pinned in tests). */
+  def q24AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfTopK(
+      emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 10)
+  }
+
+  /** Embedding-cosine near-duplicate pairs. */
+  def q25EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+      planes = 4, minCosine = 0.3)
+
+  /** Multimodal: decode-verify the synthetic images (PSNR vs re-render,
+    * format/dimension invariants) — real ImageIO decode on executors. */
+  def q26ImageInvariants(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val n = Math.min(imageCount(dir), 2000L)
+    ImageTable.synthesize(s, n).toDF()
+      .withColumn("dec_w", call_udf("img_width", col("bytes")))
+      .withColumn("dec_h", call_udf("img_height", col("bytes")))
+      .withColumn("ok_dims", col("dec_w") === col("w") && col("dec_h") === col("h"))
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ok_dims"), 1L).otherwise(0L)).as("n_dims_ok"))
+  }
+
+  // ---- wiring ----
+
+  val oracleQueries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q01_agg" -> (q01Agg _, q01Sql),
+    "q02_join_agg" -> (q02JoinAgg _, q02Sql),
+    "q03_topk" -> (q03TopK _, q03Sql),
+    "q04_cell_grid" -> (q04CellGrid _, q04Sql),
+    "q05_pip_join" -> (q05PipJoin _, q05Sql),
+    "q06_pip_salted" -> (q06PipSalted _, q06Sql),
+    "q07_knn" -> (q07Knn _, q07Sql),
+    "q08_dedup_exact" -> (q08DedupExact _, q08Sql),
+    "q09_text_stats" -> (q09TextStats _, q09Sql),
+    "q10_running" -> (q10Running _, q10Sql),
+    "q11_tumbling" -> (q11Tumbling _, q11Sql),
+    "q12_ann_brute" -> (q12AnnBrute _, q12Sql))
+
+  val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_image_pipeline" -> (q20ImagePipeline _),
+    "q21_minhash_dedup" -> (q21MinhashDedup _),
+    "q22_simhash" -> (q22Simhash _),
+    "q23_quality" -> (q23Quality _),
+    "q24_ann_ivf" -> (q24AnnIvf _),
+    "q25_embed_neardup" -> (q25EmbedNearDup _),
+    "q26_image_invariants" -> (q26ImageInvariants _))
+}

@@ -16,6 +16,8 @@ object Kernels {
   def cellParentAt(cell: Long, toRes: Int): Long = CellIndex.parentAt(cell, toRes)
   def cellRing(cell: Long, k: Int): Array[Long] = CellIndex.ring(cell, k)
   def cellDisk(cell: Long, k: Int): Array[Long] = CellIndex.disk(cell, k)
+  def cellX(cell: Long): Long = CellIndex.x(cell)
+  def cellY(cell: Long): Long = CellIndex.y(cell)
   def cellCenterLon(cell: Long): Double = CellIndex.center(cell)._1
   def cellCenterLat(cell: Long): Double = CellIndex.center(cell)._2
 
@@ -28,13 +30,36 @@ object Kernels {
     z ^ (z >>> 31)
   }
 
-  /** phash → deterministic lon in [−180, 180). */
+  /** Geometry derivation from a 64-bit perceptual hash: high 32 bits → lon,
+    * low 32 bits → lat. Deterministic, locality-preserving (nearby hashes →
+    * nearby points) and invertible — the synthetic generator can place
+    * hot-spot clusters in chosen cells by constructing the phash from target
+    * coordinates (FIXTURES.md §1).
+    */
   def phashLon(phash: Long): Double =
-    (mix64(phash) >>> 11).toDouble / (1L << 53).toDouble * 360.0 - 180.0
+    (phash >>> 32).toDouble / 4294967296.0 * 360.0 - 180.0
 
   /** phash → deterministic lat in [−85, 85). */
   def phashLat(phash: Long): Double =
-    (mix64(phash + 0x5851F42D4C957F2DL) >>> 11).toDouble / (1L << 53).toDouble * 170.0 - 85.0
+    (phash & 0xFFFFFFFFL).toDouble / 4294967296.0 * 170.0 - 85.0
+
+  /** Inverse derivation: target (lon, lat) → phash whose derived point is in
+    * the same ~1e-7° neighborhood. */
+  def lonLatToPhash(lon: Double, lat: Double): Long = {
+    val hi = Math.min(4294967295L, Math.max(0L, ((lon + 180.0) / 360.0 * 4294967296.0).toLong))
+    val lo = Math.min(4294967295L, Math.max(0L, ((lat + 85.0) / 170.0 * 4294967296.0).toLong))
+    (hi << 32) | lo
+  }
+
+  /** Rolling polynomial fingerprint over the first `prefixLen` chars —
+    * wrapping 64-bit arithmetic (document fingerprinting kernel). */
+  def fp64(s: String, prefixLen: Int): Long = {
+    var h = 1125899906842597L
+    val n = Math.min(s.length, prefixLen)
+    var i = 0
+    while (i < n) { h = h * 31L + s.charAt(i).toLong; i += 1 }
+    h
+  }
 
   // ---- distances ----
 

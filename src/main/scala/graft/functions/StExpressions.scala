@@ -134,6 +134,29 @@ case class StY(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_y"
 }
 
+/** st_cellx(cell) / st_celly(cell) → Long — grid coordinates (Morton
+  * de-interleave); lets external SQL (DuckDB oracle) cross-check the cell
+  * encoding with plain floor arithmetic. */
+case class StCellX(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = graft.core.CellIndex.x(v.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.core.Kernels.cellX($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_cellx"
+}
+
+case class StCellY(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = graft.core.CellIndex.y(v.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.core.Kernels.cellY($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_celly"
+}
+
 /** st_contains(polyWkb, lon, lat) → Boolean — ray-cast PIP over raw WKB. */
 case class StContains(geom: Expression, lon: Expression, lat: Expression)
     extends TernaryExpression {
@@ -186,6 +209,21 @@ case class StSqDist(x1: Expression, y1: Expression, x2: Expression, y2: Expressi
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression, q: Expression): Expression =
     copy(x1 = f, y1 = s, x2 = t, y2 = q)
   override def prettyName: String = "st_sqdist"
+}
+
+/** fp64(text, prefixLen) → rolling polynomial fingerprint (wrapping 64-bit
+  * arithmetic — unaffected by ANSI overflow checking). */
+case class StringFp64(text: Expression, prefixLen: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def left: Expression = text
+  override def right: Expression = prefixLen
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.fp64(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(text = l, prefixLen = r)
+  override def prettyName: String = "fp64"
 }
 
 /** mix64(key) → splitmix64-mixed Long (deterministic derivations, salting). */
@@ -283,6 +321,8 @@ object st {
   def point(lon: Column, lat: Column): Column =
     col(StPoint(asD(ex(lon)), asD(ex(lat))))
   def x(g: Column): Column = col(StX(ex(g)))
+  def cellX(cell: Column): Column = col(StCellX(asL(ex(cell))))
+  def cellY(cell: Column): Column = col(StCellY(asL(ex(cell))))
   def y(g: Column): Column = col(StY(ex(g)))
   def contains(geom: Column, lon: Column, lat: Column): Column =
     col(StContains(ex(geom), asD(ex(lon)), asD(ex(lat))))
@@ -291,6 +331,7 @@ object st {
   def sqDist(x1: Column, y1: Column, x2: Column, y2: Column): Column =
     col(StSqDist(asD(ex(x1)), asD(ex(y1)), asD(ex(x2)), asD(ex(y2))))
   def mix64(c: Column): Column = col(Mix64(asL(ex(c))))
+  def fp64(text: Column, prefixLen: Int): Column = col(StringFp64(ex(text), Literal(prefixLen)))
   def geomFromWkt(c: Column): Column = col(StGeomFromWkt(ex(c)))
   def geomFromWktGc(c: Column): Column = col(StGeomFromWktGc(ex(c)))
   def asWkt(c: Column): Column = col(StAsWkt(ex(c)))
@@ -311,11 +352,14 @@ object st {
     }
     one("st_point") { e => StPoint(asD(e(0)), asD(e(1))) }
     one("st_x") { e => StX(e(0)) }
+    one("st_cellx") { e => StCellX(asL(e(0))) }
+    one("st_celly") { e => StCellY(asL(e(0))) }
     one("st_y") { e => StY(e(0)) }
     one("st_contains") { e => StContains(e(0), asD(e(1)), asD(e(2))) }
     one("st_haversine") { e => StHaversine(asD(e(0)), asD(e(1)), asD(e(2)), asD(e(3))) }
     one("st_sqdist") { e => StSqDist(asD(e(0)), asD(e(1)), asD(e(2)), asD(e(3))) }
     one("mix64") { e => Mix64(asL(e(0))) }
+    one("fp64") { e => StringFp64(e(0), if (e.length > 1) asI(e(1)) else Literal(256)) }
     one("st_geomfromwkt") { e => StGeomFromWkt(e(0)) }
     one("st_geomfromwkt_gc") { e => StGeomFromWktGc(e(0)) }
     one("st_aswkt") { e => StAsWkt(e(0)) }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (n-gram heuristic), quality scoring, token counting, rolling-hash
+  * fingerprinting. Builtins only — everything stays in whole-stage codegen.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish token count: word pieces + digits + punctuation singles,
+    * approximating a GPT-style pre-tokenizer regex. */
+  def tokenCountBpe(text: Column): Column =
+    size(filter(
+      split(text, "(?=[\\p{P}\\p{S}])|(?<=[\\p{P}\\p{S}])|\\s+"),
+      t => length(t) > 0))
+
+  /** Characters per token ≈ 4 heuristic token estimate. */
+  def tokenEstimate(text: Column): Column = ceil(length(text).cast("double") / 4.0)
+
+  /** Quality-score components: length, punctuation ratio, stopword ratio,
+    * uppercase ratio, digit ratio, mean word length. Returns a struct. */
+  def qualityFeatures(text: Column): Column = {
+    val n = length(text).cast("double")
+    val nPunct = (n - length(regexp_replace(text, "[\\p{P}]", ""))).cast("double")
+    val nUpper = (n - length(regexp_replace(text, "[A-Z]", ""))).cast("double")
+    val nDigit = (n - length(regexp_replace(text, "[0-9]", ""))).cast("double")
+    val words = filter(split(lower(text), "[^a-z']+"), w => length(w) > 0)
+    val nWords = size(words).cast("double")
+    val stop = typedLit(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "was", "at", "by", "be", "this"))
+    val nStop = size(filter(words, w => array_contains(stop, w))).cast("double")
+    struct(
+      n.as("n_chars"),
+      nWords.as("n_words"),
+      when(n > 0, nPunct / n).otherwise(0.0).as("punct_ratio"),
+      when(n > 0, nUpper / n).otherwise(0.0).as("upper_ratio"),
+      when(n > 0, nDigit / n).otherwise(0.0).as("digit_ratio"),
+      when(nWords > 0, nStop / nWords).otherwise(0.0).as("stopword_ratio"),
+      when(nWords > 0, (n - nWords + 1) / nWords).otherwise(0.0).as("mean_word_len"))
+  }
+
+  /** Scalar quality score in [0,1]: heuristic blend of the features —
+    * long-enough, punctuated-but-not-too-much, some stopwords (prose-like). */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f.getField("n_chars") / 500.0, lit(1.0))
+    val punctOk = when(f.getField("punct_ratio").between(0.005, 0.15), 1.0).otherwise(0.3)
+    val stopOk = when(f.getField("stopword_ratio").between(0.1, 0.7), 1.0).otherwise(0.4)
+    val digitOk = when(f.getField("digit_ratio") < 0.3, 1.0).otherwise(0.2)
+    round((lenScore * 0.4 + punctOk * 0.25 + stopOk * 0.25 + digitOk * 0.1), 4)
+  }
+
+  /** Language-ID heuristic over character classes + frequent-word hits for a
+    * small language set (en/de/fr/es + cjk/other by script). Deterministic,
+    * codegen'd; a real model would slot in as a mapInPandas stage. */
+  def langIdHeuristic(text: Column): Column = {
+    val t = lower(text)
+    val words = filter(split(t, "[^\\p{L}']+"), w => length(w) > 0)
+    def hits(ws: Seq[String]): Column =
+      size(filter(words, w => array_contains(typedLit(ws), w))).cast("double")
+    val nW = greatest(size(words).cast("double"), lit(1.0))
+    val en = hits(Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "sich"))
+    val fr = hits(Seq("le", "la", "les", "et", "est", "une", "pour", "que", "dans", "pas"))
+    val es = hits(Seq("el", "la", "los", "y", "es", "una", "por", "que", "con", "para"))
+    val cjkChars = length(regexp_replace(text, "[^\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]", ""))
+    when(cjkChars > length(text) / 4, lit("cjk"))
+      .when(en >= de && en >= fr && en >= es && en / nW > 0.02, lit("en"))
+      .when(de >= fr && de >= es && de / nW > 0.02, lit("de"))
+      .when(fr >= es && fr / nW > 0.02, lit("fr"))
+      .when(es / nW > 0.02, lit("es"))
+      .otherwise(lit("other"))
+  }
+
+  /** Rolling polynomial document fingerprint: h = h·31 + char over the first
+    * `prefixLen` chars (wrapping 64-bit arithmetic via the fp64 kernel
+    * expression — a builtin fold would trip ANSI overflow checks). */
+  def fingerprint(text: Column, prefixLen: Int = 256): Column =
+    graft.functions.st.fp64(text, prefixLen)
+}

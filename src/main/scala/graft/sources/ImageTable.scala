@@ -1,0 +1,182 @@
+package graft.sources
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Kernels
+
+/** The engine's mandated input table (BASELINE.json input_hint):
+  * (image_id:string, bytes:binary, w:int, h:int, fmt:string,
+  *  caption:string, phash:int64).
+  *
+  * `synthesize` builds it deterministically from the row id alone (seeded
+  * splitmix64; no RNG state, no wall clock) so any two runs — at any
+  * parallelism — produce byte-identical rows. 30% of rows are placed in
+  * three hot-spot cities (via the invertible phash↔lon/lat derivation in
+  * [[graft.core.Kernels]]) to exercise skew handling (FIXTURES.md §1).
+  *
+  * Real codecs: PNG (lossless) and JPEG (lossy) via `javax.imageio`
+  * (JDK-builtin — no external dep). Decode / PSNR / resize below are real;
+  * only video frame-sampling is a deterministic stub (no video codec in the
+  * JVM).
+  */
+object ImageTable {
+
+  final case class ImageRow(
+      image_id: String, bytes: Array[Byte], w: Int, h: Int,
+      fmt: String, caption: String, phash: Long)
+
+  val hotspots: Array[(Double, Double)] =
+    Array((121.5654, 25.033), (-0.1278, 51.5074), (-74.006, 40.7128))
+
+  private val captionWords = Array(
+    "street", "river", "market", "tower", "bridge", "sunset", "crowd",
+    "garden", "harbour", "museum", "mountain", "temple", "café", "狗", "貓",
+    "風景", "日落", "überblick", "plaza", "niño")
+
+  /** Deterministic row for an id. Pure function of (id) — partitioning-safe. */
+  def rowFor(id: Long): ImageRow = {
+    val m = Kernels.mix64(id)
+    val hot = (id % 10) < 3
+    val phash =
+      if (hot) {
+        val (clon, clat) = hotspots((id % 3).toInt)
+        val jx = ((Kernels.mix64(id + 1) >>> 40).toDouble / 16777216.0 - 0.5) * 0.1
+        val jy = ((Kernels.mix64(id + 2) >>> 40).toDouble / 16777216.0 - 0.5) * 0.1
+        Kernels.lonLatToPhash(clon + jx, clat + jy)
+      } else m
+    val dims = Array(8, 16, 32, 64)
+    val w = dims((Kernels.mix64(id + 3) & 3L).toInt)
+    val h = dims((Kernels.mix64(id + 4) & 3L).toInt)
+    val fmt = if ((Kernels.mix64(id + 5) & 1L) == 0L) "png" else "jpeg"
+    val img = renderPattern(id, w, h)
+    val bytes = encode(img, fmt)
+    val nWords = 3 + (Kernels.mix64(id + 6) & 7L).toInt
+    val caption = (0 until nWords).map { i =>
+      captionWords((Kernels.mix64(id * 31 + i) % captionWords.length).toInt.abs)
+    }.mkString(f"img$id%09d: ", " ", "")
+    ImageRow(f"img$id%09d", bytes, w, h, fmt, caption, phash)
+  }
+
+  /** Seeded deterministic RGB pattern (smooth gradients + hash noise — JPEG
+    * survives it at PSNR≥40 for our quality settings). */
+  def renderPattern(id: Long, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val base = Kernels.mix64(id * 7919L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // clamp (not wrap) so gradients stay smooth — a & 0xFF wraparound
+        // would put a sawtooth edge in the block and sink JPEG PSNR
+        val r = Math.min(255, ((base >>> 16) & 0xFF).toInt + (x * 255 / w) / 4)
+        val g = Math.min(255, ((base >>> 24) & 0xFF).toInt + (y * 255 / h) / 4)
+        val b = Math.min(255, ((base >>> 32) & 0xFF).toInt + ((x + y) * 255 / (w + h)) / 4)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    if (fmt == "jpeg") {
+      // explicit quality 1.0: keeps the lossy path above the 40 dB PSNR
+      // invariant on our gradient patterns (ImageIO default ~0.75 does not).
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(1.0f)
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(out)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose()
+      out.close()
+    } else {
+      ImageIO.write(img, fmt, bos)
+    }
+    bos.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(bytes))
+
+  /** PSNR in dB between two images (decoded pixels, RGB); 99.0 if identical. */
+  def psnr(a: Array[Byte], b: Array[Byte]): Double = {
+    val ia = decode(a); val ib = decode(b)
+    if (ia.getWidth != ib.getWidth || ia.getHeight != ib.getHeight) return 0.0
+    var mse = 0.0
+    var n = 0
+    var y = 0
+    while (y < ia.getHeight) {
+      var x = 0
+      while (x < ia.getWidth) {
+        val pa = ia.getRGB(x, y); val pb = ib.getRGB(x, y)
+        var shift = 0
+        while (shift < 24) {
+          val d = ((pa >> shift) & 0xFF) - ((pb >> shift) & 0xFF)
+          mse += d * d
+          n += 1
+          shift += 8
+        }
+        x += 1
+      }
+      y += 1
+    }
+    mse /= n
+    if (mse == 0.0) 99.0 else 10.0 * Math.log10(255.0 * 255.0 / mse)
+  }
+
+  /** Deterministic area-average resize (real, Graphics2D-free for
+    * reproducibility across JVMs). */
+  def resize(bytes: Array[Byte], fmt: String, nw: Int, nh: Int): Array[Byte] = {
+    val src = decode(bytes)
+    val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        val sx = x * src.getWidth / nw
+        val sy = y * src.getHeight / nh
+        dst.setRGB(x, y, src.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    encode(dst, fmt)
+  }
+
+  /** Video frame-sampling STUB: no video codec ships in the JVM, so this
+    * returns deterministic fake frames (one per sampled index) with the real
+    * Spark-side signature a decoder would have. Swap the body for a JNI/
+    * ffmpeg binding in production. */
+  def sampleFramesStub(bytes: Array[Byte], everyN: Int, maxFrames: Int): Array[Array[Byte]] = {
+    val nFrames = Math.min(maxFrames, 1 + (bytes.length % 7))
+    (0 until nFrames).map { i =>
+      encode(renderPattern(bytes.length.toLong * 31 + i.toLong * everyN, 8, 8), "png")
+    }.toArray
+  }
+
+  /** Synthesize `n` rows as a Dataset (deterministic; `parts` partitions). */
+  def synthesize(spark: SparkSession, n: Long, parts: Int = 32): Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).as[Long].map(rowFor _)
+  }
+
+  /** Register image UDFs: img_dims, img_psnr, img_resize, img_frames. */
+  def registerUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("img_width", (b: Array[Byte]) => decode(b).getWidth)
+    spark.udf.register("img_height", (b: Array[Byte]) => decode(b).getHeight)
+    spark.udf.register("img_psnr", (a: Array[Byte], b: Array[Byte]) => psnr(a, b))
+    spark.udf.register("img_resize",
+      (b: Array[Byte], fmt: String, w: Int, h: Int) => resize(b, fmt, w, h))
+    spark.udf.register("img_frames",
+      (b: Array[Byte], everyN: Int, maxFrames: Int) => sampleFramesStub(b, everyN, maxFrames))
+  }
+}

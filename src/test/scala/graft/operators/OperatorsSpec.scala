@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{st, SparkTestSession}
+import graft.core.{Wkb, Wkt, Kernels}
+import graft.sources.ImageTable
+
+class SpatialOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def seededPoints(n: Int): DataFrame =
+    spark.range(n).select(col("id"),
+      (pmod(st.mix64(col("id")), lit(360000L)).cast("double") / 1000.0 - 180.0).as("lon"),
+      (pmod(st.mix64(col("id") + 1000000), lit(170000L)).cast("double") / 1000.0 - 85.0).as("lat"))
+
+  test("pipJoin matches brute-force cross join on polygons with holes") {
+    val polyWkts = Seq(
+      "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), (10 10, 10 20, 20 20, 20 10, 10 10))",
+      "POLYGON ((-120 -60, -60 -60, -90 -10, -120 -60))",
+      "POLYGON ((100 10, 160 10, 160 70, 100 70, 100 10))")
+    val polys = polyWkts.zipWithIndex
+      .map { case (w, i) => (i.toLong, Wkb.write(Wkt.parse(w))) }
+      .toDF("poly_id", "geom")
+    val pts = seededPoints(3000).cache()
+    val got = SpatialOps.pipJoin(pts, col("lon"), col("lat"), polys, "geom", res = 6)
+      .select("id", "poly_id").as[(Long, Long)].collect().toSet
+    val brute = pts.crossJoin(polys)
+      .filter(st.contains(col("geom"), col("lon"), col("lat")))
+      .select("id", "poly_id").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("saltedCellJoin == plain cell join rows") {
+    val pts = seededPoints(2000)
+      .withColumn("cell", st.cellId(col("lon"), col("lat"), 4))
+    val dims = spark.range(50).select(col("id").as("dim_id"),
+        (pmod(st.mix64(col("id") + 7), lit(360000L)).cast("double") / 1000.0 - 180.0).as("dlon"),
+        (pmod(st.mix64(col("id") + 8), lit(170000L)).cast("double") / 1000.0 - 85.0).as("dlat"))
+      .withColumn("cell", st.cellId(col("dlon"), col("dlat"), 4))
+    val plain = pts.join(dims.withColumnRenamed("cell", "cell2"), col("cell") === col("cell2"))
+      .select("id", "dim_id").as[(Long, Long)].collect().toSet
+    val hot = SpatialOps.hotCells(pts, col("cell"), threshold = 10)
+    assert(hot.nonEmpty, "expected some hot cells at res 4")
+    val salted = SpatialOps.saltedCellJoin(
+        pts, col("cell"), col("id"), dims, col("cell"), hot.toSeq, saltFactor = 4)
+      .select("id", "dim_id").as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("knnJoin == brute-force kNN (incl. sparse regions forcing ring growth)") {
+    val pts = seededPoints(2000).cache()
+    // queries: some in dense area, some in empty ocean of the derived space
+    val queries = Seq(
+      (0L, 10.0, 10.0), (1L, -170.0, -80.0), (2L, 0.001, 0.001),
+      (3L, 179.0, 84.0), (4L, -30.5, 42.25), (5L, 100.0, -84.9))
+      .toDF("q_id", "q_lon", "q_lat")
+    val got = SpatialOps.knnJoin(spark, queries, col("q_id"), col("q_lon"), col("q_lat"),
+        pts, col("id"), col("lon"), col("lat"), k = 7, res = 8)
+      .select("q_id", "p_id", "rn").as[(Long, Long, Long)].collect().toSet
+    val brute = queries.crossJoin(pts)
+      .withColumn("dist", st.sqDist(col("q_lon"), col("q_lat"), col("lon"), col("lat")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("dist"), col("id"))).cast("long"))
+      .filter(col("rn") <= 7)
+      .select(col("q_id"), col("id").as("p_id"), col("rn"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
+  test("tileAssign output is byte-identical across parallelism (2 vs 8)") {
+    def run(parts: Int): Array[Byte] = {
+      val s2 = spark.newSession()
+      st.registerAll(s2)
+      val pts = s2.range(5000).repartition(parts).select(col("id"),
+        (pmod(st.mix64(col("id")), lit(360000L)).cast("double") / 1000.0 - 180.0).as("lon"),
+        (pmod(st.mix64(col("id") + 1000000), lit(170000L)).cast("double") / 1000.0 - 85.0).as("lat"))
+      val tiled = SpatialOps.tileAssign(pts, col("lon"), col("lat"),
+        tileRes = 6, numPartitions = 8, sortCols = Seq("id"))
+      val rows = tiled.select("tile", "id").collect()
+        .map(r => s"${r.getLong(0)},${r.getLong(1)}").mkString("\n")
+      java.security.MessageDigest.getInstance("SHA-256").digest(rows.getBytes)
+    }
+    assert(java.util.Arrays.equals(run(2), run(8)))
+  }
+}
+
+class DedupAnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic doc corpus: base docs + true near-duplicates. */
+  def docs(n: Int): DataFrame = {
+    // 4096 distinct synthetic words so unrelated docs share little vocabulary
+    def word(k: Long): String = "w" + (Kernels.mix64(k) & 0xFFFL).toString
+    val base = (0 until n).map { i =>
+      val ws = (0 until 30).map(j => word(i.toLong * 131 + j))
+      (i.toLong, ws.mkString(" "))
+    }
+    val dups = (0 until n / 5).map { i =>
+      // near-dup of doc i: one word changed
+      val (id, text) = base(i)
+      (n + i.toLong, text.replaceFirst("\\w+$", "changed"))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds all true near-dups (verified by exact jaccard)") {
+    val d = docs(100).cache()
+    val cands = Dedup.minhashCandidates(d, col("doc_id"), col("text"))
+    val verified = Dedup.jaccardVerify(cands, d, col("doc_id"), col("text"), minJaccard = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every (i, 100+i) pair is a true near-dup with jaccard >= 0.8
+    val expected = (0 until 20).map(i => (i.toLong, 100L + i)).toSet
+    assert(expected.subsetOf(verified), s"missing: ${expected -- verified}")
+  }
+
+  test("exact dedup counts duplicates") {
+    val d = docs(50).unionAll(docs(50).filter(col("doc_id") < 10)) // 10 exact copies
+    val res = Dedup.exact(d, col("text"), col("doc_id"))
+    assert(res.filter(col("n_copies") >= 2).count() >= 10)
+    assert(res.agg(sum("n_copies")).head().getLong(0) == d.count())
+  }
+
+  test("simhash: near-dups have small hamming distance") {
+    val d = docs(60).cache()
+    val sigs = d.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    (0 until 12).foreach { i =>
+      val hd = java.lang.Long.bitCount(sigs(i.toLong) ^ sigs(60L + i))
+      assert(hd <= 16, s"doc $i hamming $hd")
+    }
+    // unrelated docs should usually be far apart
+    val far = (0 until 30).count(i => java.lang.Long.bitCount(sigs(i.toLong) ^ sigs(59L - i)) > 16)
+    assert(far > 15)
+  }
+
+  test("ivf ANN recall vs brute force >= 0.4 at probes=2") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Ann.bruteTopK(emb, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"), 10)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(emb, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"), 10)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall")
+    assert(ivf.subsetOf(ivf)) // sanity
+  }
+}
+
+class ImageTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("synthesis deterministic across partitionings") {
+    val a = ImageTable.synthesize(spark, 200, parts = 2).collect().sortBy(_.image_id)
+    val b = ImageTable.synthesize(spark, 200, parts = 7).collect().sortBy(_.image_id)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.image_id == y.image_id && x.phash == y.phash && x.caption == y.caption)
+      assert(java.util.Arrays.equals(x.bytes, y.bytes))
+    }
+  }
+
+  test("image invariant: decoded pixels PSNR >= 40dB vs source pattern; png exact") {
+    val rows = ImageTable.synthesize(spark, 100).collect()
+    rows.foreach { r =>
+      val ref = ImageTable.encode(ImageTable.renderPattern(r.image_id.drop(3).toLong, r.w, r.h), "png")
+      val p = ImageTable.psnr(r.bytes, ref)
+      if (r.fmt == "png") assert(p == 99.0, s"${r.image_id} png not exact ($p)")
+      else assert(p >= 40.0, s"${r.image_id} jpeg psnr $p < 40")
+    }
+  }
+
+  test("caption equality + phash-derived hotspot skew present") {
+    val df = ImageTable.synthesize(spark, 5000).toDF()
+      .withColumn("lon", SpatialOps.phashLon(col("phash")))
+      .withColumn("lat", SpatialOps.phashLat(col("phash")))
+      .withColumn("cell", st.cellId(col("lon"), col("lat"), 7))
+    val counts = df.groupBy("cell").count().orderBy(col("count").desc).limit(3)
+      .select("count").as[Long].collect()
+    // 30% of 5000 rows in 3 hotspot cells
+    assert(counts.sum >= 1400, s"hotspot cells only ${counts.sum}")
+    // caption determinism
+    val c1 = ImageTable.rowFor(42).caption
+    assert(df.filter(col("image_id") === "img000000042").select("caption").head().getString(0) == c1)
+  }
+
+  test("resize + frame-sample stubs keep plumbing real") {
+    val r = ImageTable.rowFor(1)
+    val resized = ImageTable.resize(r.bytes, "png", 4, 4)
+    assert(ImageTable.decode(resized).getWidth == 4)
+    val frames = ImageTable.sampleFramesStub(r.bytes, 2, 5)
+    assert(frames.nonEmpty && frames.forall(f => ImageTable.decode(f).getWidth == 8))
+  }
+}
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("token counts and quality features") {
+    val df = Seq(
+      ("The quick brown fox, it jumps over the lazy dog!", "en"),
+      ("12345 67890", "num"),
+      ("", "empty")).toDF("text", "tag")
+      .select(col("tag"),
+        TextOps.tokenCountWs(col("text")).as("ws"),
+        TextOps.tokenCountBpe(col("text")).as("bpe"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.langIdHeuristic(col("text")).as("lang"))
+    val en = df.filter(col("tag") === "en").head()
+    assert(en.getInt(1) == 10) // ws tokens
+    assert(en.getInt(2) == 12) // bpe: comma and bang split
+    assert(en.getString(4) == "en")
+    val empty = df.filter(col("tag") === "empty").head()
+    assert(empty.getInt(1) == 0)
+  }
+
+  test("fingerprint: deterministic, prefix-sensitive") {
+    val df = Seq("hello world", "hello worlds", "hello world").toDF("t")
+      .select(TextOps.fingerprint(col("t")).as("fp")).as[Long].collect()
+    assert(df(0) == df(2) && df(0) != df(1))
+    assert(df(0) == Kernels.fp64("hello world", 256))
+  }
+}
