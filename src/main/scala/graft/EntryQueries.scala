@@ -313,7 +313,8 @@ object EntryQueries {
   def q20ImagePipeline(s: SparkSession, dir: String): DataFrame = {
     ensureRegistered(s)
     val n = imageCount(dir)
-    val images = ImageTable.synthesize(s, n).toDF()
+    // metadata-only synthesis == a parquet scan with bytes/caption pruned
+    val images = ImageTable.synthesizeMeta(s, n).toDF()
       .withColumn("lon", SpatialOps.phashLon(col("phash")))
       .withColumn("lat", SpatialOps.phashLat(col("phash")))
     val polys = districtPolygons(s)

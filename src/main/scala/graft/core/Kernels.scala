@@ -61,6 +61,110 @@ object Kernels {
     h
   }
 
+  /** MinHash signature in one pass: rolling-hash every `shingleLen`-gram of
+    * the lowercased text once, then per permutation i keep
+    * min_j mix64(h_j ^ seed_i). O(chars + shingles·perms) — no intermediate
+    * shingle arrays (the declarative formulation re-inlined the shingle
+    * subtree once per permutation and was ~100× slower).
+    */
+  def minhashSig(text: String, shingleLen: Int, perms: Int): Array[Long] = {
+    val t = text.toLowerCase
+    val n = t.length
+    val out = Array.fill(perms)(Long.MaxValue)
+    if (n < shingleLen) {
+      // degenerate: hash the whole (short) text as a single shingle
+      var h = 1125899906842597L
+      var i = 0
+      while (i < n) { h = h * 31L + t.charAt(i).toLong; i += 1 }
+      var p = 0
+      while (p < perms) { out(p) = mix64(h ^ (p.toLong * 0x9E3779B97F4A7C15L)); p += 1 }
+      return out
+    }
+    var j = 0
+    while (j + shingleLen <= n) {
+      var h = 1125899906842597L
+      var i = j
+      while (i < j + shingleLen) { h = h * 31L + t.charAt(i).toLong; i += 1 }
+      var p = 0
+      while (p < perms) {
+        val v = mix64(h ^ (p.toLong * 0x9E3779B97F4A7C15L))
+        if (v < out(p)) out(p) = v
+        p += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Distinct hashed `n`-gram shingles of the lowercased text, sorted — the
+    * document's shingle-set representation for exact Jaccard. */
+  def shingleHashes(text: String, shingleLen: Int): Array[Long] = {
+    val t = text.toLowerCase
+    val n = t.length
+    if (n == 0) return Array.empty
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (n < shingleLen) {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < n) { h = h * 31L + t.charAt(i).toLong; i += 1 }
+      set.add(h)
+    } else {
+      var j = 0
+      while (j + shingleLen <= n) {
+        var h = 1125899906842597L
+        var i = j
+        while (i < j + shingleLen) { h = h * 31L + t.charAt(i).toLong; i += 1 }
+        set.add(h)
+        j += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** Jaccard similarity of two sorted long arrays (merge intersection). */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter).toDouble
+  }
+
+  /** 64-bit SimHash over whitespace tokens in one pass (bit votes of
+    * mix64(token rolling hash)). */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      if (i < n) {
+        var h = 1125899906842597L
+        while (i < n && !Character.isWhitespace(text.charAt(i))) {
+          h = h * 31L + Character.toLowerCase(text.charAt(i)).toLong
+          i += 1
+        }
+        val m = mix64(h)
+        var b = 0
+        while (b < 64) {
+          if (((m >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   // ---- distances ----
 
   def sqDist(ax: Double, ay: Double, bx: Double, by: Double): Double =

@@ -226,6 +226,62 @@ case class StringFp64(text: Expression, prefixLen: Expression)
   override def prettyName: String = "fp64"
 }
 
+/** minhash_sig(text, shingleLen, perms) → Array[Long] — single-pass MinHash. */
+case class MinHashSig(text: Expression, shingleLen: Expression, perms: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def first: Expression = text
+  override def second: Expression = shingleLen
+  override def third: Expression = perms
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(Kernels.minhashSig(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(text = f, shingleLen = s, perms = t)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** shingle_hashes(text, n) → sorted distinct hashed n-gram set. */
+case class ShingleHashes(text: Expression, shingleLen: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def left: Expression = text
+  override def right: Expression = shingleLen
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(Kernels.shingleHashes(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(text = l, shingleLen = r)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** jaccard_sorted(a, b) → exact Jaccard of two sorted long-array sets. */
+case class JaccardSorted(a: Expression, b: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def left: Expression = a
+  override def right: Expression = b
+  override def nullSafeEval(x: Any, y: Any): Any =
+    Kernels.jaccardSorted(
+      x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+      y.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+  override def prettyName: String = "jaccard_sorted"
+}
+
+/** simhash64(text) → Long — single-pass whitespace-token SimHash. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    Kernels.simhash64(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
 /** mix64(key) → splitmix64-mixed Long (deterministic derivations, salting). */
 case class Mix64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -332,6 +388,12 @@ object st {
     col(StSqDist(asD(ex(x1)), asD(ex(y1)), asD(ex(x2)), asD(ex(y2))))
   def mix64(c: Column): Column = col(Mix64(asL(ex(c))))
   def fp64(text: Column, prefixLen: Int): Column = col(StringFp64(ex(text), Literal(prefixLen)))
+  def minhashSig(text: Column, shingleLen: Int, perms: Int): Column =
+    col(MinHashSig(ex(text), Literal(shingleLen), Literal(perms)))
+  def simhash64(text: Column): Column = col(SimHash64(ex(text)))
+  def shingleHashes(text: Column, shingleLen: Int): Column =
+    col(ShingleHashes(ex(text), Literal(shingleLen)))
+  def jaccardSorted(a: Column, b: Column): Column = col(JaccardSorted(ex(a), ex(b)))
   def geomFromWkt(c: Column): Column = col(StGeomFromWkt(ex(c)))
   def geomFromWktGc(c: Column): Column = col(StGeomFromWktGc(ex(c)))
   def asWkt(c: Column): Column = col(StAsWkt(ex(c)))
@@ -360,6 +422,10 @@ object st {
     one("st_sqdist") { e => StSqDist(asD(e(0)), asD(e(1)), asD(e(2)), asD(e(3))) }
     one("mix64") { e => Mix64(asL(e(0))) }
     one("fp64") { e => StringFp64(e(0), if (e.length > 1) asI(e(1)) else Literal(256)) }
+    one("minhash_sig") { e => MinHashSig(e(0), asI(e(1)), asI(e(2))) }
+    one("simhash64") { e => SimHash64(e(0)) }
+    one("shingle_hashes") { e => ShingleHashes(e(0), asI(e(1))) }
+    one("jaccard_sorted") { e => JaccardSorted(e(0), e(1)) }
     one("st_geomfromwkt") { e => StGeomFromWkt(e(0)) }
     one("st_geomfromwkt_gc") { e => StGeomFromWktGc(e(0)) }
     one("st_aswkt") { e => StAsWkt(e(0)) }

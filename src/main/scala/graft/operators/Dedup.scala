@@ -31,13 +31,12 @@ object Dedup {
       s => length(s) === n)
   }
 
-  /** MinHash signature (`perms` values) over a shingle array. Hash family:
-    * h_i(x) = mix64(xxhash64(x) + i·GOLDEN). Returns array<long>. */
-  def minhash(shingleArr: Column, perms: Int): Column =
-    array((0 until perms).map { i =>
-      array_min(transform(shingleArr, s =>
-        graft.functions.st.mix64(xxhash64(s, lit(i)))))
-    }: _*)
+  /** MinHash signature (`perms` values) over character shingles — one pass
+    * via the MinHashSig kernel expression (the declarative per-permutation
+    * formulation re-inlines the shingle subtree `perms` times under
+    * CollapseProject and is ~100× slower at scale). */
+  def minhash(text: Column, shingleLen: Int, perms: Int): Column =
+    graft.functions.st.minhashSig(text, shingleLen, perms)
 
   /** MinHash LSH candidate pairs: signatures banded `bands`×`rowsPerBand`;
     * equal band-hash ⇒ candidate. Returns (id_a, id_b, n_bands_matched)
@@ -45,50 +44,56 @@ object Dedup {
     */
   def minhashCandidates(
       df: DataFrame, id: Column, text: Column,
-      shingleLen: Int = 4, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val sig = df.select(id.as("id"), minhash(shingles(text, shingleLen), bands * rowsPerBand).as("sig"))
+      shingleLen: Int = 4, bands: Int = 8, rowsPerBand: Int = 4,
+      minBands: Int = 2, minSigFrac: Double = 0.35): DataFrame = {
+    val sig = df.select(id.as("id"), minhash(text, shingleLen, bands * rowsPerBand).as("sig"))
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
         xxhash64(concat_ws(",", (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
       }: _*)).as(Seq("band", "bh")))
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bh"))
+    val pairs = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_bands_matched"))
+      // pass 1: require >= minBands matching bands (cuts the false-positive
+      // tail an order of magnitude on overlapping corpora)
+      .filter(col("n_bands_matched") >= minBands)
+    // pass 2: cheap jaccard estimate from full signatures (32 comparisons)
+    // before the expensive exact shingle-set verification
+    val perms = bands * rowsPerBand
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("sig_frac",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+          .cast("double") / perms.toDouble)
+      .filter(col("sig_frac") >= minSigFrac)
+      .select("id_a", "id_b", "n_bands_matched", "sig_frac")
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs (verification pass
-    * after LSH): |A∩B| / |A∪B| over distinct shingles. */
+  /** Exact n-gram Jaccard for candidate pairs (verification pass after LSH):
+    * |A∩B| / |A∪B| over distinct hashed shingle sets — sorted long arrays +
+    * merge intersection kernel (string-array intersect/union was the q21
+    * bottleneck: ~100× slower). */
   def jaccardVerify(
       candidates: DataFrame, // (id_a, id_b, ...)
       docs: DataFrame, id: Column, text: Column,
       shingleLen: Int = 4, minJaccard: Double = 0.7): DataFrame = {
-    val sh = docs.select(id.as("__id"), array_distinct(shingles(text, shingleLen)).as("__sh"))
+    import graft.functions.st
+    val sh = docs.select(id.as("__id"), st.shingleHashes(text, shingleLen).as("__sh"))
     candidates
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .withColumn("jaccard", st.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
-      .drop("sh_a", "sh_b", "inter", "uni")
+      .drop("sh_a", "sh_b")
   }
 
-  /** 64-bit SimHash over whitespace tokens: sign-sum of per-token hashes,
-    * built with bit arithmetic on longs (codegen'd; no UDF). */
-  def simhash(text: Column): Column = {
-    val tokens = split(lower(text), "\\s+")
-    val hashes = transform(tokens, t => xxhash64(t))
-    // for each bit b: if sum over tokens of (bit set ? 1 : -1) > 0 => set bit
-    val bitCols = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftrightunsigned(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+  /** 64-bit SimHash over whitespace tokens — single-pass kernel expression
+    * (a 64-aggregate builtin formulation re-scans the token array per bit). */
+  def simhash(text: Column): Column = graft.functions.st.simhash64(text)
 
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

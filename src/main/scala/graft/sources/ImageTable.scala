@@ -38,28 +38,40 @@ object ImageTable {
     "garden", "harbour", "museum", "mountain", "temple", "café", "狗", "貓",
     "風景", "日落", "überblick", "plaza", "niño")
 
+  final case class ImageMeta(image_id: String, phash: Long, w: Int, h: Int, fmt: String)
+
+  /** phash for an id: uniform world scatter, except 30% of rows clustered on
+    * the hotspot cities (skew). Pure function of id. */
+  def phashFor(id: Long): Long = {
+    if ((id % 10) < 3) {
+      val (clon, clat) = hotspots((id % 3).toInt)
+      val jx = ((Kernels.mix64(id + 1) >>> 40).toDouble / 16777216.0 - 0.5) * 0.1
+      val jy = ((Kernels.mix64(id + 2) >>> 40).toDouble / 16777216.0 - 0.5) * 0.1
+      Kernels.lonLatToPhash(clon + jx, clat + jy)
+    } else Kernels.mix64(id)
+  }
+
+  /** Metadata-only row — what a parquet scan with bytes/caption pruned away
+    * would deliver; the spatial pipeline reads only these columns. */
+  def metaFor(id: Long): ImageMeta = {
+    val dims = Array(8, 16, 32, 64)
+    ImageMeta(f"img$id%09d",
+      phashFor(id),
+      dims((Kernels.mix64(id + 3) & 3L).toInt),
+      dims((Kernels.mix64(id + 4) & 3L).toInt),
+      if ((Kernels.mix64(id + 5) & 1L) == 0L) "png" else "jpeg")
+  }
+
   /** Deterministic row for an id. Pure function of (id) — partitioning-safe. */
   def rowFor(id: Long): ImageRow = {
-    val m = Kernels.mix64(id)
-    val hot = (id % 10) < 3
-    val phash =
-      if (hot) {
-        val (clon, clat) = hotspots((id % 3).toInt)
-        val jx = ((Kernels.mix64(id + 1) >>> 40).toDouble / 16777216.0 - 0.5) * 0.1
-        val jy = ((Kernels.mix64(id + 2) >>> 40).toDouble / 16777216.0 - 0.5) * 0.1
-        Kernels.lonLatToPhash(clon + jx, clat + jy)
-      } else m
-    val dims = Array(8, 16, 32, 64)
-    val w = dims((Kernels.mix64(id + 3) & 3L).toInt)
-    val h = dims((Kernels.mix64(id + 4) & 3L).toInt)
-    val fmt = if ((Kernels.mix64(id + 5) & 1L) == 0L) "png" else "jpeg"
-    val img = renderPattern(id, w, h)
-    val bytes = encode(img, fmt)
+    val meta = metaFor(id)
+    val img = renderPattern(id, meta.w, meta.h)
+    val bytes = encode(img, meta.fmt)
     val nWords = 3 + (Kernels.mix64(id + 6) & 7L).toInt
     val caption = (0 until nWords).map { i =>
       captionWords((Kernels.mix64(id * 31 + i) % captionWords.length).toInt.abs)
     }.mkString(f"img$id%09d: ", " ", "")
-    ImageRow(f"img$id%09d", bytes, w, h, fmt, caption, phash)
+    ImageRow(meta.image_id, bytes, meta.w, meta.h, meta.fmt, caption, meta.phash)
   }
 
   /** Seeded deterministic RGB pattern (smooth gradients + hash noise — JPEG
@@ -167,6 +179,13 @@ object ImageTable {
   def synthesize(spark: SparkSession, n: Long, parts: Int = 32): Dataset[ImageRow] = {
     import spark.implicits._
     spark.range(0, n, 1, parts).as[Long].map(rowFor _)
+  }
+
+  /** Metadata-only synthesis (no image bytes / captions) — the equivalent of
+    * a column-pruned scan of the image table for the spatial pipeline. */
+  def synthesizeMeta(spark: SparkSession, n: Long, parts: Int = 32): Dataset[ImageMeta] = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).as[Long].map(metaFor _)
   }
 
   /** Register image UDFs: img_dims, img_psnr, img_resize, img_frames. */
