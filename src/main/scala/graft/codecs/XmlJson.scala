@@ -1,0 +1,230 @@
+package graft.codecs
+
+import javax.xml.parsers.DocumentBuilderFactory
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import org.w3c.dom.{Document, Element, Node}
+import scala.collection.mutable
+
+import graft.core._
+
+/** XML ↔ JSON tree codec reproducing the reference's conventions
+  * (`/root/reference/src/XML.js:47-161`):
+  *
+  *  - attributes → `"@name"` keys, numeric-sniffed (`XML.js:54`)
+  *  - leaf text → the value itself, or `"#"` when attributes exist
+  *    (`XML.js:85-92`); numeric-sniffed (quirk Q14)
+  *  - repeated same-name children → array (`XML.js:65-70`)
+  *  - elements whose tag starts with "_" turn the parent into an array
+  *    (`XML.js:75-81`, the `_array` convention)
+  *  - json2Xml: `"@"` keys → attributes, `"#"` → text, arrays under a key →
+  *    repeated elements (the reference requires a `sameName` marker
+  *    (`XML.js:144`) which its own writers always set; we treat every array
+  *    as sameName), bare array → `_array` elements (`XML.js:125-129`)
+  *
+  * Namespace-unaware parsing so tag names keep their prefixes (gx:coord).
+  */
+object XmlJson {
+
+  /** JS numeric sniff: `!isNaN(parseFloat(v)) && isFinite(v)` (`XML.js:54,86`). */
+  def sniff(s: String): JValue = {
+    val pf = jsParseFloat(s)
+    if (!pf.isNaN && jsIsFinite(s)) JNum(pf) else JStr(s)
+  }
+
+  /** JS parseFloat: longest valid decimal prefix after leading whitespace. */
+  def jsParseFloat(s0: String): Double = {
+    val s = s0.dropWhile(_.isWhitespace)
+    var i = 0
+    val n = s.length
+    def digits(): Unit = while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+    val start = i
+    if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+    val beforeDigits = i
+    digits()
+    if (i < n && s.charAt(i) == '.') { i += 1; digits() }
+    if (i == beforeDigits || (i == beforeDigits + 1 && s.charAt(beforeDigits) == '.')) return Double.NaN
+    // exponent
+    val expStart = i
+    if (i < n && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+      i += 1
+      if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+      val d0 = i
+      digits()
+      if (i == d0) i = expStart // invalid exponent: roll back
+    }
+    try java.lang.Double.parseDouble(s.substring(start, i))
+    catch { case _: NumberFormatException => Double.NaN }
+  }
+
+  /** JS isFinite(string): Number(string) is finite. Number("") == 0;
+    * whitespace-only == 0; "0x.." hex; otherwise strict full-string parse. */
+  def jsIsFinite(s0: String): Boolean = jsNumber(s0).exists(d => !d.isNaN && !d.isInfinite)
+
+  /** JS Number(string) semantics (None == NaN). */
+  def jsNumber(s0: String): Option[Double] = {
+    val s = s0.trim
+    if (s.isEmpty) return Some(0.0)
+    if (s.startsWith("0x") || s.startsWith("0X")) {
+      return try Some(java.lang.Long.parseLong(s.substring(2), 16).toDouble)
+      catch { case _: NumberFormatException => None }
+    }
+    if (s == "Infinity" || s == "+Infinity") return Some(Double.PositiveInfinity)
+    if (s == "-Infinity") return Some(Double.NegativeInfinity)
+    try Some(java.lang.Double.parseDouble(s)) catch { case _: NumberFormatException => None }
+  }
+
+  // ---------- xml -> json ----------
+
+  def parseDom(xml: String): Document = {
+    val f = DocumentBuilderFactory.newInstance() // namespace-unaware: keeps prefixes
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.newDocumentBuilder().parse(new ByteArrayInputStream(xml.getBytes(StandardCharsets.UTF_8)))
+  }
+
+  /** Whole document → `{rootTag: ...}`, like xml2Json on the DOM Document. */
+  def xml2Json(xml: String): JValue = {
+    val doc = parseDom(xml)
+    elementToJson(doc.getDocumentElement) match {
+      case v => JObj.of(doc.getDocumentElement.getTagName -> v)
+    }
+  }
+
+  private def childElements(e: Element): Vector[Element] = {
+    val nl = e.getChildNodes
+    (0 until nl.getLength).iterator
+      .map(nl.item)
+      .collect { case el: Element => el }
+      .toVector
+  }
+
+  def elementToJson(e: Element): JValue = {
+    val obj = mutable.LinkedHashMap.empty[String, JValue]
+    val attrs = e.getAttributes
+    if (attrs != null) {
+      (0 until attrs.getLength).foreach { i =>
+        val a = attrs.item(i)
+        obj("@" + a.getNodeName) = sniff(a.getNodeValue)
+      }
+    }
+    val kids = childElements(e)
+    if (kids.nonEmpty) {
+      var arrayMode: Option[mutable.ArrayBuffer[JValue]] = None
+      val sameName = mutable.Set.empty[String]
+      kids.foreach { k =>
+        val tag = k.getTagName
+        if (!tag.startsWith("_")) {
+          if (obj.contains(tag)) {
+            if (!sameName.contains(tag)) {
+              obj(tag) = JArr.of(obj(tag))
+              sameName += tag
+            }
+            obj(tag) = obj(tag) match {
+              case JArr(items) => JArr(items :+ elementToJson(k))
+              case other       => JArr.of(other, elementToJson(k))
+            }
+          } else {
+            obj(tag) = elementToJson(k)
+          }
+        } else {
+          // "_"-prefixed child: parent becomes an array (`XML.js:75-81`)
+          val buf = arrayMode.getOrElse {
+            val b = mutable.ArrayBuffer.empty[JValue]
+            arrayMode = Some(b)
+            b
+          }
+          buf += elementToJson(k)
+        }
+      }
+      arrayMode match {
+        case Some(buf) => JArr(buf.toVector)
+        case None      => JObj(obj.toVector)
+      }
+    } else {
+      val value = sniff(e.getTextContent)
+      if (obj.nonEmpty) { obj("#") = value; JObj(obj.toVector) }
+      else value
+    }
+  }
+
+  // ---------- json -> xml ----------
+
+  /** Serialize like `json2Xml(..., toString=true)`: XML declaration with
+    * single quotes + XMLSerializer-compatible output (`XML.js:114-116`). */
+  def json2XmlString(json: JValue, rootName: String): String = {
+    val sb = new StringBuilder
+    sb.append("<?xml version='1.0' encoding='UTF-8'?>")
+    writeElement(sb, if (rootName.trim.nonEmpty) rootName else "root", json)
+    sb.toString
+  }
+
+  /** Text rendering of a scalar (JS String(value) semantics). */
+  def scalarText(v: JValue): String = v match {
+    case JStr(s)  => s
+    case JNum(d)  => Json.num(d)
+    case JBool(b) => b.toString
+    case JNull    => "null" // JS String(null); reference never emits this
+    case other    => other.render
+  }
+
+  private def escText(s: String, sb: StringBuilder): Unit =
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case c   => sb.append(c)
+    }
+
+  private def escAttr(s: String, sb: StringBuilder): Unit =
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '"' => sb.append("&quot;")
+      case c   => sb.append(c)
+    }
+
+  def writeElement(sb: StringBuilder, name: String, json: JValue): Unit = json match {
+    case JArr(items) =>
+      // bare array: wrap children as `_array` elements (`XML.js:125-129`)
+      sb.append('<').append(name)
+      if (items.isEmpty) { sb.append("/>"); return }
+      sb.append('>')
+      items.foreach(writeElement(sb, "_array", _))
+      sb.append("</").append(name).append('>')
+    case JObj(fields) =>
+      val attrs = fields.filter(_._1.startsWith("@"))
+      val text = fields.collectFirst { case ("#", v) => v }
+      val children = fields.filterNot { case (k, _) => k.startsWith("@") || k == "#" }
+      sb.append('<').append(name)
+      attrs.foreach { case (k, v) =>
+        sb.append(' ').append(k.substring(1)).append("=\"")
+        escAttr(scalarText(v), sb)
+        sb.append('"')
+      }
+      if (text.isEmpty && children.isEmpty) { sb.append("/>"); return }
+      sb.append('>')
+      text.foreach(t => escText(scalarText(t), sb))
+      children.foreach {
+        case (k, arr: JArr) =>
+          // keyed array → repeated elements (reference `sameName` path,
+          // `XML.js:144-148` — its writers always mark arrays sameName)
+          arr.items.foreach(writeElement(sb, k, _))
+        case (k, o: JObj) => writeElement(sb, k, o)
+        case (k, scalar) =>
+          sb.append('<').append(k)
+          val t = scalarText(scalar)
+          if (t.isEmpty) sb.append("/>")
+          else { sb.append('>'); escText(t, sb); sb.append("</").append(k).append('>') }
+      }
+      sb.append("</").append(name).append('>')
+    case scalar =>
+      sb.append('<').append(name)
+      val t = scalarText(scalar)
+      if (t.isEmpty) sb.append("/>")
+      else { sb.append('>'); escText(t, sb); sb.append("</").append(name).append('>') }
+  }
+
+  /** Value for an "undefined" in the reference (JS textContent = undefined →
+    * the string "undefined"; used by quirk Q3). */
+  val UndefinedText: JValue = JStr("undefined")
+}

@@ -32,11 +32,13 @@ object GeoJson {
   }
 
   def featureToJson(f: Feature): JObj = {
+    // key order matches the reference's WKT path: type, properties, geometry
+    // (`/root/reference/src/WKT.js:44-48`)
     var fields = Vector[(String, JValue)](
       "type" -> JStr("Feature"),
-      "geometry" -> f.geometry.map(geomToJson).getOrElse(JNull),
       "properties" -> JObj(f.properties))
     if (f.style.nonEmpty) fields :+= ("style" -> JObj(f.style))
+    fields :+= ("geometry" -> f.geometry.map(geomToJson).getOrElse(JNull))
     f.bbox.foreach { case (a, b, c, d) =>
       fields :+= ("bbox" -> JArr.of(JNum(a), JNum(b), JNum(c), JNum(d)))
     }

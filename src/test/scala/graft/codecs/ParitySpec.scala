@@ -1,0 +1,367 @@
+package graft.codecs
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.sys.process._
+import java.io.ByteArrayInputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import graft.core._
+
+/** Golden parity: every codec compared byte-for-byte against the ACTUAL
+  * reference (`/root/reference/dist/GeoConvert.js`) executed under node via
+  * scripts/ref_oracle.js (minimal DOM shim). This pins SURVEY.md §5.3's quirk
+  * contract with the reference itself as the oracle.
+  */
+object RefOracle {
+  def call(op: String, fields: (String, JValue)*): String = {
+    val req = JObj(("op" -> (JStr(op): JValue)) +: fields.toVector).render
+    val out = new StringBuilder
+    val io = new ProcessIO(
+      in => { in.write(req.getBytes("UTF-8")); in.close() },
+      outS => { out.append(new String(outS.readAllBytes(), "UTF-8")); outS.close() },
+      err => { err.readAllBytes(); err.close() })
+    val p = Process(Seq("node", "scripts/ref_oracle.js"), new java.io.File("/root/repo")).run(io)
+    assert(p.exitValue() == 0, s"oracle failed for $op")
+    out.toString
+  }
+  def apply(op: String, input: String): String = call(op, "input" -> JStr(input))
+}
+
+class WktParitySpec extends AnyFunSuite {
+  val cases = Seq(
+    "POINT (121.5 25.0)",
+    "POINT(1 2)",
+    "LINESTRING (30 10, 10 30, 40 40)",
+    "POLYGON ((30 10, 40 40, 20 40, 10 20, 30 10))",
+    "POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10), (20 30, 35 35, 30 20, 20 30))",
+    "MULTIPOINT ((10 40), (40 30))", // unsupported → empty collection (Q11)
+    "GEOMETRYCOLLECTION (POINT (1 2))")
+  test("wkt2Geojson matches reference byte-for-byte") {
+    cases.foreach { wkt =>
+      val ours = GeoJson.collectionToJson(Wkt.wktToFeatureCollection(wkt)).render
+      val ref = RefOracle("wkt2geojson", wkt)
+      assert(ours == ref, s"WKT: $wkt")
+    }
+  }
+}
+
+class GpxParitySpec extends AnyFunSuite {
+  val gpxDocs = Seq(
+    // wpt with props, numeric-ish name (sniffed to float by the reference)
+    """<gpx><wpt lat="25.03" lon="121.56"><name>Taipei 101</name><cmt>c</cmt><desc>d</desc><time>2020-01-01T00:00:00Z</time></wpt></gpx>""",
+    """<gpx><wpt lat="25.03" lon="121.56"><name>42</name></wpt></gpx>""",
+    // trk single-seg multi-point → LineString; single point → Point
+    """<gpx><trk><name>t</name><trkseg><trkpt lat="1.5" lon="2.5"></trkpt><trkpt lat="1.6" lon="2.6"></trkpt></trkseg></trk></gpx>""",
+    """<gpx><trk><name>t</name><trkseg><trkpt lat="1.5" lon="2.5"></trkpt></trkseg></trk></gpx>""",
+    // multi-seg trk → geometry {} quirk
+    """<gpx><trk><name>t</name><trkseg><trkpt lat="1" lon="2"/></trkseg><trkseg><trkpt lat="3" lon="4"/></trkseg></trk></gpx>""",
+    // rte multi + single; repeated wpt; missing props
+    """<gpx><rte><name>r</name><rtept lat="1" lon="2"/><rtept lat="3" lon="4"/></rte><rte><rtept lat="9" lon="8"/></rte><wpt lat="0.5" lon="0.25"/></gpx>""")
+
+  test("gpx2Geojson matches reference byte-for-byte") {
+    gpxDocs.foreach { gpx =>
+      val ours = GpxCodec.gpx2GeojsonString(gpx)
+      val ref = RefOracle("gpx2geojson", gpx)
+      assert(ours == ref, s"GPX: $gpx")
+    }
+  }
+
+  val geojsons = Seq(
+    """{"type":"FeatureCollection","features":[{"type":"Feature","properties":{"name":"p1"},"geometry":{"type":"Point","coordinates":[121.5,25.0]}},{"type":"Feature","properties":{"name":"l1"},"geometry":{"type":"LineString","coordinates":[[1,2],[3,4.5]]}}]}""",
+    """{"type":"Feature","properties":{},"geometry":{"type":"MultiPoint","coordinates":[[1,2],[3,4]]}}""",
+    """{"type":"Feature","properties":{"name":"gc"},"geometry":{"type":"GeometryCollection","geometries":[{"type":"Point","coordinates":[5,6]},{"type":"LineString","coordinates":[[7,8],[9,10]]}]}}""",
+    // polygon dropped (Q10)
+    """{"type":"FeatureCollection","features":[{"type":"Feature","properties":{"name":"poly"},"geometry":{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]}},{"type":"Feature","properties":{"name":"pt"},"geometry":{"type":"Point","coordinates":[1,1]}}]}""",
+    // bare geometry root → auto-wrap
+    """{"type":"Point","coordinates":[12.5,-3]}""")
+
+  test("geojson2Gpx matches reference byte-for-byte") {
+    geojsons.foreach { gj =>
+      val ours = GpxCodec.geojson2Gpx(gj)
+      val ref = RefOracle("geojson2gpx", gj)
+      assert(ours == ref, s"GeoJSON: $gj")
+    }
+  }
+}
+
+class KmlParitySpec extends AnyFunSuite {
+  val kmlDocs = Seq(
+    // simple placemark, point
+    """<kml><Document><Placemark><name>P1</name><description>D1</description><Point><coordinates>121.5,25.0,0</coordinates></Point></Placemark></Document></kml>""",
+    // folder nesting + repeated placemarks + linestring with messy whitespace
+    """<kml><Document><Folder><Placemark><name>A</name><LineString><coordinates>1,2 3,4
+	5,6</coordinates></LineString></Placemark><Placemark><name>B</name><Point><coordinates>9,8</coordinates></Point></Placemark></Folder></Document></kml>""",
+    // polygon with 2 holes
+    """<kml><Document><Placemark><Polygon><outerBoundaryIs><LinearRing><coordinates>0,0 10,0 10,10 0,10 0,0</coordinates></LinearRing></outerBoundaryIs><innerBoundaryIs><LinearRing><coordinates>2,2 4,2 4,4 2,2</coordinates></LinearRing></innerBoundaryIs><innerBoundaryIs><LinearRing><coordinates>6,6 8,6 8,8 6,6</coordinates></LinearRing></innerBoundaryIs></Polygon></Placemark></Document></kml>""",
+    // shared style + styleUrl + inline style merge
+    """<kml><Document><Style id="s1"><LineStyle><color>7f0000ff</color><width>3</width></LineStyle><PolyStyle><color>7d00ff00</color><outline>1</outline></PolyStyle></Style><Placemark><styleUrl>#s1</styleUrl><Point><coordinates>1,1</coordinates></Point></Placemark><Placemark><Style><LineStyle><color>ff123456</color></LineStyle></Style><styleUrl>#s1</styleUrl><Point><coordinates>2,2</coordinates></Point></Placemark></Document></kml>""",
+    // StyleMap indirection (normal pair)
+    """<kml><Document><Style id="base"><IconStyle><Icon><href>icons/a.png</href></Icon><scale>1.5</scale><color>99ffcc00</color><hotSpot x="16" y="31"/></IconStyle></Style><StyleMap id="m1"><Pair><key>normal</key><styleUrl>#base</styleUrl></Pair><Pair><key>highlight</key><styleUrl>#other</styleUrl></Pair></StyleMap><Placemark><styleUrl>#m1</styleUrl><Point><coordinates>3,3</coordinates></Point></Placemark></Document></kml>""",
+    // StyleMap AFTER placemark: lookup misses (document-order quirk)
+    """<kml><Document><Placemark><styleUrl>#late</styleUrl><Point><coordinates>4,4</coordinates></Point></Placemark><StyleMap id="late"><Pair><key>normal</key><styleUrl>#base</styleUrl></Pair></StyleMap><Style id="base"><LineStyle><color>ffff0000</color></LineStyle></Style></Document></kml>""",
+    // MultiGeometry: single type collapse + mixed types
+    """<kml><Document><Placemark><MultiGeometry><Point><coordinates>1,1</coordinates></Point><Point><coordinates>2,2</coordinates></Point></MultiGeometry></Placemark><Placemark><MultiGeometry><Point><coordinates>1,1</coordinates></Point><LineString><coordinates>1,1 2,2</coordinates></LineString></MultiGeometry></Placemark></Document></kml>""",
+    // gx:Track with when + SimpleArrayData
+    """<kml><Document><Placemark><gx:Track><when>2020-01-01T00:00:00Z</when><when>2020-01-01T00:01:00Z</when><gx:coord>121.5 25.0 10</gx:coord><gx:coord>121.6 25.1 12</gx:coord><ExtendedData><SchemaData><gx:SimpleArrayData name="speed"><gx:value>1.5</gx:value><gx:value>2.5</gx:value></gx:SimpleArrayData><gx:SimpleArrayData name="cadence"><gx:value>80</gx:value><gx:value>82</gx:value></gx:SimpleArrayData></SchemaData></ExtendedData></gx:Track></Placemark></Document></kml>""",
+    // GroundOverlay (Q13 latLngBounds [lat,lng] order)
+    """<kml><Document><GroundOverlay><name>GO</name><Icon><href>http://x/y.png</href></Icon><visibility>1</visibility><LatLonBox><north>25.5</north><south>24.5</south><east>122.0</east><west>121.0</west></LatLonBox></GroundOverlay></Document></kml>""",
+    // kml: namespace prefix strip
+    """<kml:kml><kml:Document><kml:Placemark><kml:Point><kml:coordinates>7,8</kml:coordinates></kml:Point></kml:Placemark></kml:Document></kml:kml>""",
+    // placemark without geometry → geometry {}
+    """<kml><Document><Placemark><name>empty</name></Placemark></Document></kml>""")
+
+  test("kml2Geojson matches reference byte-for-byte") {
+    kmlDocs.foreach { kml =>
+      val ours = KmlCodec.kml2GeojsonString(kml)
+      val ref = RefOracle("kml2geojson", kml)
+      assert(ours == ref, s"KML: ${kml.take(90)}")
+    }
+  }
+
+  val geojsons = Seq(
+    // basic features with styles; dedup (identical style → same custom id, Q5)
+    """{"type":"FeatureCollection","features":[{"type":"Feature","properties":{"name":"a"},"style":{"color":"#ff0000","opacity":0.5,"weight":2},"geometry":{"type":"Point","coordinates":[1,2]}},{"type":"Feature","properties":{"name":"b"},"style":{"color":"#ff0000","opacity":0.5,"weight":2},"geometry":{"type":"Point","coordinates":[3,4]}}]}""",
+    // Q3: stroke without fill → <fill>undefined</fill>; Q6 low opacity unpadded alpha
+    """{"type":"Feature","properties":{},"style":{"stroke":1,"fillColor":"#00ff00","fillOpacity":0.02},"geometry":{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,0]]]}}""",
+    // Q4: polygon with 2 holes → only last innerBoundaryIs survives
+    """{"type":"Feature","properties":{},"style":{},"geometry":{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]],[[2,2],[4,2],[4,4],[2,2]],[[6,6],[8,6],[8,8],[6,6]]]}}""",
+    // multigeometry + geometry collection
+    """{"type":"Feature","properties":{"name":"mg"},"style":{},"geometry":{"type":"MultiLineString","coordinates":[[[1,2],[3,4]],[[5,6],[7,8]]]}}""",
+    """{"type":"Feature","properties":{},"style":{},"geometry":{"type":"GeometryCollection","geometries":[{"type":"Point","coordinates":[1,1]},{"type":"Polygon","coordinates":[[[0,0],[2,0],[2,2],[0,0]]]}]}}""",
+    // icon style with anchor (array-valued style key: never dedups, Q5)
+    """{"type":"FeatureCollection","features":[{"type":"Feature","properties":{},"style":{"iconUrl":"i.png","iconAnchor":[16,31],"scale":1.5},"geometry":{"type":"Point","coordinates":[5,5]}},{"type":"Feature","properties":{},"style":{"iconUrl":"i.png","iconAnchor":[16,31],"scale":1.5},"geometry":{"type":"Point","coordinates":[6,6]}}]}""",
+    // bare geometry auto-wrap
+    """{"type":"LineString","coordinates":[[0,0],[1.25,2.5]]}""")
+
+  test("geojson2Kml matches reference byte-for-byte") {
+    geojsons.foreach { gj =>
+      val ours = KmlCodec.geojson2Kml(gj)
+      val ref = RefOracle("geojson2kml", gj)
+      assert(ours == ref, s"GeoJSON: ${gj.take(90)}")
+    }
+  }
+
+  test("kml round-trip: kml -> geojson -> kml -> geojson is stable") {
+    val kml = kmlDocs(3)
+    val gj1 = KmlCodec.kml2GeojsonString(kml)
+    val kml2 = KmlCodec.geojson2Kml(gj1)
+    val gj2 = KmlCodec.kml2GeojsonString(kml2)
+    val kml3 = KmlCodec.geojson2Kml(gj2)
+    assert(kml2 == kml3) // fixpoint after one round trip
+  }
+}
+
+class XmlParitySpec extends AnyFunSuite {
+  val docs = Seq(
+    """<root a="1.5" b="x"><child>text</child><child>7</child><leaf/></root>""",
+    """<r><n>007</n><n>12abc</n><n> 42 </n><n>0x10</n><n></n></r>""",
+    """<r attr="zip"><v>00501</v></r>""")
+  test("xml2Json matches reference byte-for-byte") {
+    docs.foreach { xml =>
+      val ours = XmlJson.xml2Json(xml).render
+      val ref = RefOracle("xml2json", xml)
+      assert(ours == ref, s"XML: $xml")
+    }
+  }
+}
+
+/** Hand-written binary .shp/.dbf builders (FIXTURES.md §3). */
+object ShpBuilder {
+  def shpFile(records: Seq[Array[Byte]], bbox: (Double, Double, Double, Double)): Array[Byte] = {
+    val contentBytes = records.map(_.length + 8).sum
+    val buf = ByteBuffer.allocate(100 + contentBytes)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(0, 9994)
+    buf.putInt(24, (100 + contentBytes) / 2) // length in 16-bit words, BE
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(28, 1000)
+    buf.putInt(32, 0) // header shape type (unused by reference reads)
+    buf.putDouble(36, bbox._1); buf.putDouble(44, bbox._2)
+    buf.putDouble(52, bbox._3); buf.putDouble(60, bbox._4)
+    var off = 100
+    records.zipWithIndex.foreach { case (rec, i) =>
+      buf.order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(off, i + 1)
+      buf.putInt(off + 4, rec.length / 2)
+      off += 8
+      rec.foreach { b => buf.put(off, b); off += 1 }
+    }
+    buf.array()
+  }
+
+  private def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+
+  def nullRecord(): Array[Byte] = { val b = le(4); b.putInt(0, 0); b.array() }
+
+  def point(x: Double, y: Double, shapeType: Int = 1): Array[Byte] = {
+    val extra = shapeType match { case 11 => 16; case 21 => 8; case _ => 0 }
+    val b = le(20 + extra)
+    b.putInt(0, shapeType); b.putDouble(4, x); b.putDouble(12, y)
+    b.array()
+  }
+
+  def multiPoint(pts: Seq[(Double, Double)]): Array[Byte] = {
+    val b = le(4 + 32 + 4 + pts.length * 16)
+    b.putInt(0, 8)
+    putBox(b, 4, pts)
+    b.putInt(36, pts.length)
+    pts.zipWithIndex.foreach { case ((x, y), i) =>
+      b.putDouble(40 + i * 16, x); b.putDouble(48 + i * 16, y)
+    }
+    b.array()
+  }
+
+  private def putBox(b: ByteBuffer, off: Int, pts: Seq[(Double, Double)]): Unit = {
+    b.putDouble(off, pts.map(_._1).min); b.putDouble(off + 8, pts.map(_._2).min)
+    b.putDouble(off + 16, pts.map(_._1).max); b.putDouble(off + 24, pts.map(_._2).max)
+  }
+
+  /** shapeType 3 = polyline, 5 = polygon; parts = ring/part point lists. */
+  def poly(shapeType: Int, parts: Seq[Seq[(Double, Double)]]): Array[Byte] = {
+    val allPts = parts.flatten
+    val b = le(4 + 32 + 8 + 4 * parts.length + allPts.length * 16)
+    b.putInt(0, shapeType)
+    putBox(b, 4, allPts)
+    b.putInt(36, parts.length)
+    b.putInt(40, allPts.length)
+    var start = 0
+    parts.zipWithIndex.foreach { case (p, i) => b.putInt(44 + 4 * i, start); start += p.length }
+    val base = 44 + 4 * parts.length
+    allPts.zipWithIndex.foreach { case ((x, y), i) =>
+      b.putDouble(base + i * 16, x); b.putDouble(base + i * 16 + 8, y)
+    }
+    b.array()
+  }
+
+  /** dBase III .dbf: fields (name, type, length), rows of fixed-width strings. */
+  def dbf(fields: Seq[(String, Char, Int)], rows: Seq[Seq[String]],
+      ldid: Int = 0x00, charset: String = "UTF-8"): Array[Byte] = {
+    val headerLength = 32 + fields.length * 32 + 1
+    val recordLength = 1 + fields.map(_._3).sum
+    val buf = ByteBuffer.allocate(headerLength + rows.length * recordLength + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(0, 0x03.toByte)
+    buf.putInt(4, rows.length)
+    buf.putShort(8, headerLength.toShort)
+    buf.putShort(10, recordLength.toShort)
+    buf.put(29, ldid.toByte)
+    fields.zipWithIndex.foreach { case ((name, tpe, len), i) =>
+      val off = 32 + i * 32
+      val nb = name.getBytes(charset)
+      nb.take(10).zipWithIndex.foreach { case (b, j) => buf.put(off + j, b) }
+      buf.put(off + 11, tpe.toByte)
+      buf.put(off + 16, len.toByte)
+    }
+    buf.put(32 + fields.length * 32, 0x0D.toByte)
+    rows.zipWithIndex.foreach { case (row, i) =>
+      var off = headerLength + i * recordLength
+      buf.put(off, ' '.toByte); off += 1
+      row.zip(fields).foreach { case (v, (_, _, len)) =>
+        val vb = v.getBytes(charset)
+        (0 until len).foreach { j =>
+          buf.put(off + j, if (j < vb.length) vb(j) else ' '.toByte)
+        }
+        off += len
+      }
+    }
+    buf.array()
+  }
+}
+
+class ShpParitySpec extends AnyFunSuite {
+  import ShpBuilder._
+
+  def b64(a: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(a)
+
+  def compare(shp: Array[Byte], dbf: Array[Byte], prj: Option[String] = None): Unit = {
+    val ours = ShpCodec.shapefile2GeojsonString(
+      ShpCodec.ShapeInput(shp, dbf, prj))
+    val fields = Vector[(String, JValue)](
+      "shpB64" -> JStr(b64(shp)), "dbfB64" -> JStr(b64(dbf))) ++
+      prj.map(p => "prj" -> (JStr(p): JValue)).toVector
+    val ref = RefOracle.call("shp2geojson", fields: _*)
+    assert(ours == ref)
+  }
+
+  // CW ring (shapefile outer) and CCW (hole) under the reference's
+  // y-down-free shoelace: acc >= 0 means "outer"
+  val cw = Seq((10.0, 10.0), (10.0, 20.0), (20.0, 20.0), (20.0, 10.0), (10.0, 10.0))
+  val ccw = cw.reverse
+  val hole = Seq((12.0, 12.0), (14.0, 12.0), (14.0, 14.0), (12.0, 14.0), (12.0, 12.0))
+
+  test("points + nulls + dbf join matches reference") {
+    val shp = shpFile(Seq(
+      point(121.5, 25.0),
+      nullRecord(),
+      point(2.5, -3.5, shapeType = 11), // PointZ via plain reader (Q9)
+      point(7.25, 8.5, shapeType = 21)), (2.5, -3.5, 121.5, 25.0))
+    val dbf = ShpBuilder.dbf(
+      Seq(("NAME", 'C', 8), ("VAL", 'N', 5), ("DT", 'D', 8)),
+      Seq(Seq("alpha", "1.5", "20200101"), Seq("beta", "22", "20200102"),
+        Seq("gamma", "", "20200103"), Seq("delta", "-4", "20200104")))
+    compare(shp, dbf)
+  }
+
+  test("polyline single + multi part matches reference") {
+    val shp = shpFile(Seq(
+      poly(3, Seq(Seq((0.0, 0.0), (5.0, 5.0), (10.0, 0.0)))),
+      poly(3, Seq(Seq((0.0, 0.0), (1.0, 1.0)), Seq((2.0, 2.0), (3.0, 3.0), (4.0, 2.0))))),
+      (0, 0, 10, 5))
+    val dbf = ShpBuilder.dbf(Seq(("ID", 'N', 3)), Seq(Seq("1"), Seq("2")))
+    compare(shp, dbf)
+  }
+
+  test("polygon with hole + multipolygon + Q7 matches reference") {
+    val shp = shpFile(Seq(
+      poly(5, Seq(cw)),                     // simple polygon
+      poly(5, Seq(cw, hole.reverse)),       // outer + CCW hole → Multi (Q7: 2 parts)
+      poly(5, Seq(cw, cw.map { case (x, y) => (x + 100, y) }))), // two outers
+      (0, 0, 200, 200))
+    val dbf = ShpBuilder.dbf(Seq(("ID", 'N', 3)), Seq(Seq("1"), Seq("2"), Seq("3")))
+    compare(shp, dbf)
+  }
+
+  test("multipoint + big5 dbf (LDID 0x4F) matches reference") {
+    val shp = shpFile(Seq(multiPoint(Seq((1.0, 2.0), (3.0, 4.0)))), (1, 2, 3, 4))
+    val dbf = ShpBuilder.dbf(Seq(("CITY", 'C', 10)), Seq(Seq("台北市")),
+      ldid = 0x4F, charset = "Big5")
+    compare(shp, dbf)
+  }
+
+  test("WGS84 prj is a no-op gate (Q8)") {
+    val shp = shpFile(Seq(point(10.0, 20.0)), (10, 20, 10, 20))
+    val dbf = ShpBuilder.dbf(Seq(("ID", 'N', 2)), Seq(Seq("1")))
+    compare(shp, dbf, Some("""GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984"]]"""))
+  }
+
+  test("zero-coordinate vertices exercise the !prevX falsy quirk") {
+    // ring passing through x=0 and y=0 — reference resets its shoelace pair
+    val ring = Seq((0.0, 5.0), (5.0, 0.0), (-5.0, -5.0), (0.0, 5.0))
+    val shp = shpFile(Seq(poly(5, Seq(ring))), (-5, -5, 5, 5))
+    val dbf = ShpBuilder.dbf(Seq(("ID", 'N', 2)), Seq(Seq("1")))
+    compare(shp, dbf)
+  }
+}
+
+class KmzSpec extends AnyFunSuite {
+  test("kmz: kml entries + icon data-URI rewrite (pure Scala; zip semantics)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val kml = """<kml><Document><Style id="s"><IconStyle><Icon><href>icons/pin.png</href></Icon></IconStyle></Style><Placemark><styleUrl>#s</styleUrl><Point><coordinates>1,2</coordinates></Point></Placemark></Document></kml>"""
+    val png = graft.sources.ImageTable.encode(graft.sources.ImageTable.renderPattern(1, 8, 8), "png")
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("doc.kml")); z.write(kml.getBytes("UTF-8")); z.closeEntry()
+    z.putNextEntry(new ZipEntry("icons/pin.png")); z.write(png); z.closeEntry()
+    z.putNextEntry(new ZipEntry("readme.txt")); z.write("x".getBytes); z.closeEntry()
+    z.close()
+    val out = KmzCodec.kmz2Geojsons(bos.toByteArray)
+    assert(out.length == 1)
+    val rendered = out.head.render
+    assert(rendered.contains("data:image/png;base64,"))
+    assert(!rendered.contains("icons/pin.png"))
+    // and equals the direct kml conversion modulo the icon rewrite
+    val direct = KmlCodec.kml2GeojsonString(kml)
+    val expected = direct.replace("icons/pin.png",
+      "data:image/png;base64," + java.util.Base64.getEncoder.encodeToString(png))
+    assert(rendered == expected)
+  }
+}
