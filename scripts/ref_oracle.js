@@ -148,9 +148,14 @@ global.XMLSerializer = function () {
 global.proj4 = undefined; // only needed for non-WGS84 prj — not exercised
 
 const fs = require('fs');
-const path = '/root/reference/dist/GeoConvert.js';
-// the bundle is an IIFE referencing window/document as free globals
-eval(fs.readFileSync(path, 'utf8'));
+// dist/GeoConvert.js is a STALE build (src/DXF.js has newer features:
+// bulge2arc, POLYLINE/SEQEND, closed flags). Concatenate src/ fresh in the
+// gulpfile's order (/root/reference/gulpfile.js:10-19) — src is canonical.
+const srcOrder = ['GeoConvert.js', 'XML.js', 'KML.js', 'KMZ.js', 'GPX.js',
+  'ShapeFile.js', 'DXF.js', 'WKT.js'];
+const bundle = srcOrder
+  .map(f => fs.readFileSync('/root/reference/src/' + f, 'utf8')).join('\n');
+eval(bundle);
 
 // ---------- request handling ----------
 
@@ -171,6 +176,8 @@ switch (req.op) {
   case 'geojson2gpx':
     out = "<?xml version='1.0' encoding='UTF-8'?>" +
       new XMLSerializer().serializeToString(GeoConvert.geojson2Gpx(req.input)); break;
+  case 'dxf2geojson':
+    out = GeoConvert.dxf2Geojson({ dxf: req.input, prj: req.prj }, true); break;
   case 'shp2geojson': {
     const shp = Uint8Array.from(Buffer.from(req.shpB64, 'base64')).buffer;
     const dbf = Uint8Array.from(Buffer.from(req.dbfB64, 'base64')).buffer;

@@ -22,6 +22,7 @@ object EntryQueries {
 
   def ensureRegistered(spark: SparkSession): Unit = {
     st.registerAll(spark)
+    graft.functions.codecs.registerAll(spark)
     ImageTable.registerUdfs(spark)
   }
 
@@ -303,6 +304,48 @@ object EntryQueries {
       |           * CAST(ROUND(CAST(x[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) DESC, id) AS rank
       |  FROM c CROSS JOIN q WHERE id <> q_id) WHERE rank <= 10""".stripMargin
 
+  /** Codec round-trip as a relational query: build KML per row, run it
+    * through kml→geojson→kml→geojson, extract the coordinates back — must
+    * equal the direct arithmetic (the DuckDB oracle). Exercises the whole
+    * conversion layer inside a distributed scan. */
+  def q13CodecKml(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    import graft.functions.{codecs => cc}
+    val pts = t(s, dir, "customer")
+      .withColumn("lon", dLon(col("c_custkey"), 7919L))
+      .withColumn("lat", dLat(col("c_custkey"), 104729L))
+      .withColumn("kml", concat(
+        lit("<kml><Document><Placemark><name>c</name><Point><coordinates>"),
+        col("lon").cast("string"), lit(","), col("lat").cast("string"),
+        lit("</coordinates></Point></Placemark></Document></kml>")))
+      .withColumn("gj", cc.kmlToGeojson(cc.geojsonToKml(cc.kmlToGeojson(col("kml")))))
+    pts.select(col("c_custkey"),
+      get_json_object(col("gj"), "$.features[0].geometry.coordinates[0]").cast("double").as("x"),
+      get_json_object(col("gj"), "$.features[0].geometry.coordinates[1]").cast("double").as("y"))
+  }
+  val q13Sql: String =
+    s"""SELECT c_custkey,
+       |  ${sqlLon("c_custkey", 7919L)} AS x,
+       |  ${sqlLat("c_custkey", 104729L)} AS y
+       |FROM customer""".stripMargin
+
+  /** Same idea through the WKT codec + WKB accessors. */
+  def q14CodecWkt(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val pts = t(s, dir, "supplier")
+      .withColumn("lon", dLon(col("s_suppkey"), 4409L))
+      .withColumn("lat", dLat(col("s_suppkey"), 9973L))
+      .withColumn("wkt", concat(lit("POINT ("),
+        col("lon").cast("string"), lit(" "), col("lat").cast("string"), lit(")")))
+      .withColumn("g", st.geomFromWktGc(col("wkt")))
+    pts.select(col("s_suppkey"), st.x(col("g")).as("x"), st.y(col("g")).as("y"))
+  }
+  val q14Sql: String =
+    s"""SELECT s_suppkey,
+       |  ${sqlLon("s_suppkey", 4409L)} AS x,
+       |  ${sqlLat("s_suppkey", 9973L)} AS y
+       |FROM supplier""".stripMargin
+
   // =================================================================
   // Rows-only queries (no SQL-expressible oracle; correctness pinned in
   // ScalaTest instead)
@@ -413,7 +456,9 @@ object EntryQueries {
     "q09_text_stats" -> (q09TextStats _, q09Sql),
     "q10_running" -> (q10Running _, q10Sql),
     "q11_tumbling" -> (q11Tumbling _, q11Sql),
-    "q12_ann_brute" -> (q12AnnBrute _, q12Sql))
+    "q12_ann_brute" -> (q12AnnBrute _, q12Sql),
+    "q13_codec_kml" -> (q13CodecKml _, q13Sql),
+    "q14_codec_wkt" -> (q14CodecWkt _, q14Sql))
 
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_image_pipeline" -> (q20ImagePipeline _),
