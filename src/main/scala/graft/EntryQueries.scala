@@ -442,6 +442,32 @@ object EntryQueries {
         sum(when(col("ok_dims"), 1L).otherwise(0L)).as("n_dims_ok"))
   }
 
+  /** Resumable flagship: image batches → PIP join → tile assignment →
+    * snapshot commits with per-bucket lineage; re-running skips committed
+    * batches (exact resume). Output: the committed lineage metrics. */
+  def q27SnapshotPipeline(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val table = java.nio.file.Files.createTempDirectory("graft_flagship").toString
+    val polys = districtPolygons(s)
+    val n = Math.min(imageCount(dir), 50000L)
+    val batches = 4
+    (0 until batches).foreach { b =>
+      val lo = n * b / batches; val hi = n * (b + 1) / batches
+      val images = ImageTable.synthesizeMetaRange(s, lo, hi).toDF()
+        .withColumn("lon", SpatialOps.phashLon(col("phash")))
+        .withColumn("lat", SpatialOps.phashLat(col("phash")))
+      val joined = SpatialOps.pipJoin(
+        images.select("image_id", "phash", "lon", "lat"),
+        col("lon"), col("lat"), polys, "geom", res = 7)
+        .withColumn("tile", st.cellId(col("lon"), col("lat"), 7))
+        .select("tile", "image_id", "district", "phash")
+      sources.SnapshotTable.commitBatch(joined, table, s"b$b", "tile", Seq("image_id", "district"))
+    }
+    sources.SnapshotTable.lineage(s, table)
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_buckets"), sum("rows").as("rows"))
+  }
+
   // ---- wiring ----
 
   val oracleQueries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -467,5 +493,6 @@ object EntryQueries {
     "q23_quality" -> (q23Quality _),
     "q24_ann_ivf" -> (q24AnnIvf _),
     "q25_embed_neardup" -> (q25EmbedNearDup _),
-    "q26_image_invariants" -> (q26ImageInvariants _))
+    "q26_image_invariants" -> (q26ImageInvariants _),
+    "q27_snapshot_pipeline" -> (q27SnapshotPipeline _))
 }
