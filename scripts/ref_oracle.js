@@ -176,6 +176,23 @@ switch (req.op) {
   case 'geojson2gpx':
     out = "<?xml version='1.0' encoding='UTF-8'?>" +
       new XMLSerializer().serializeToString(GeoConvert.geojson2Gpx(req.input)); break;
+  case 'bench_kml': {
+    // single-node throughput baseline: convert n distinct KML docs
+    const n = req.n;
+    const t0 = process.hrtime.bigint();
+    let chars = 0;
+    for (let i = 0; i < n; i++) {
+      const lon = ((i * 7919) % 360000) / 1000.0 - 180.0;
+      const lat = ((i * 104729) % 170000) / 1000.0 - 85.0;
+      const kml = '<kml><Document><Placemark><name>p' + i +
+        '</name><Point><coordinates>' + lon + ',' + lat +
+        '</coordinates></Point></Placemark></Document></kml>';
+      chars += GeoConvert.kml2Geojson(kml, true).length;
+    }
+    const secs = Number(process.hrtime.bigint() - t0) / 1e9;
+    out = JSON.stringify({ n, secs, docs_per_sec: n / secs, chars });
+    break;
+  }
   case 'dxf2geojson':
     out = GeoConvert.dxf2Geojson({ dxf: req.input, prj: req.prj }, true); break;
   case 'shp2geojson': {

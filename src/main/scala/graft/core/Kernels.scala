@@ -43,6 +43,26 @@ object Kernels {
   def phashLat(phash: Long): Double =
     (phash & 0xFFFFFFFFL).toDouble / 4294967296.0 * 170.0 - 85.0
 
+  /** Synthetic-table phash for a row id: uniform scatter, except 30% of
+    * rows placed on 3 hot-spot cities (skew; FIXTURES.md §1). Pure function
+    * of id — partitioning-safe, codegen-callable. */
+  def phashFor(id: Long): Long = {
+    if ((id % 10) < 3) {
+      val idx = (id % 3).toInt
+      val clon = hotspotLon(idx); val clat = hotspotLat(idx)
+      val jx = ((mix64(id + 1) >>> 40).toDouble / 16777216.0 - 0.5) * 0.1
+      val jy = ((mix64(id + 2) >>> 40).toDouble / 16777216.0 - 0.5) * 0.1
+      lonLatToPhash(clon + jx, clat + jy)
+    } else mix64(id)
+  }
+
+  def hotspotLon(i: Int): Double = i match {
+    case 0 => 121.5654; case 1 => -0.1278; case _ => -74.006
+  }
+  def hotspotLat(i: Int): Double = i match {
+    case 0 => 25.033; case 1 => 51.5074; case _ => 40.7128
+  }
+
   /** Inverse derivation: target (lon, lat) → phash whose derived point is in
     * the same ~1e-7° neighborhood. */
   def lonLatToPhash(lon: Double, lat: Double): Long = {

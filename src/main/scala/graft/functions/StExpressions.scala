@@ -211,6 +211,17 @@ case class StSqDist(x1: Expression, y1: Expression, x2: Expression, y2: Expressi
   override def prettyName: String = "st_sqdist"
 }
 
+/** phash_for(id) → synthetic-table phash (hot-spot skew; codegen'd). */
+case class PhashFor(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Kernels.phashFor(v.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.core.Kernels.phashFor($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "phash_for"
+}
+
 /** fp64(text, prefixLen) → rolling polynomial fingerprint (wrapping 64-bit
   * arithmetic — unaffected by ANSI overflow checking). */
 case class StringFp64(text: Expression, prefixLen: Expression)
@@ -387,6 +398,7 @@ object st {
   def sqDist(x1: Column, y1: Column, x2: Column, y2: Column): Column =
     col(StSqDist(asD(ex(x1)), asD(ex(y1)), asD(ex(x2)), asD(ex(y2))))
   def mix64(c: Column): Column = col(Mix64(asL(ex(c))))
+  def phashFor(c: Column): Column = col(PhashFor(asL(ex(c))))
   def fp64(text: Column, prefixLen: Int): Column = col(StringFp64(ex(text), Literal(prefixLen)))
   def minhashSig(text: Column, shingleLen: Int, perms: Int): Column =
     col(MinHashSig(ex(text), Literal(shingleLen), Literal(perms)))
@@ -421,6 +433,7 @@ object st {
     one("st_haversine") { e => StHaversine(asD(e(0)), asD(e(1)), asD(e(2)), asD(e(3))) }
     one("st_sqdist") { e => StSqDist(asD(e(0)), asD(e(1)), asD(e(2)), asD(e(3))) }
     one("mix64") { e => Mix64(asL(e(0))) }
+    one("phash_for") { e => PhashFor(asL(e(0))) }
     one("fp64") { e => StringFp64(e(0), if (e.length > 1) asI(e(1)) else Literal(256)) }
     one("minhash_sig") { e => MinHashSig(e(0), asI(e(1)), asI(e(2))) }
     one("simhash64") { e => SimHash64(e(0)) }

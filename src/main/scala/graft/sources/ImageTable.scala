@@ -31,7 +31,9 @@ object ImageTable {
       fmt: String, caption: String, phash: Long)
 
   val hotspots: Array[(Double, Double)] =
-    Array((121.5654, 25.033), (-0.1278, 51.5074), (-74.006, 40.7128))
+    Array((Kernels.hotspotLon(0), Kernels.hotspotLat(0)),
+      (Kernels.hotspotLon(1), Kernels.hotspotLat(1)),
+      (Kernels.hotspotLon(2), Kernels.hotspotLat(2)))
 
   private val captionWords = Array(
     "street", "river", "market", "tower", "bridge", "sunset", "crowd",
@@ -40,16 +42,8 @@ object ImageTable {
 
   final case class ImageMeta(image_id: String, phash: Long, w: Int, h: Int, fmt: String)
 
-  /** phash for an id: uniform world scatter, except 30% of rows clustered on
-    * the hotspot cities (skew). Pure function of id. */
-  def phashFor(id: Long): Long = {
-    if ((id % 10) < 3) {
-      val (clon, clat) = hotspots((id % 3).toInt)
-      val jx = ((Kernels.mix64(id + 1) >>> 40).toDouble / 16777216.0 - 0.5) * 0.1
-      val jy = ((Kernels.mix64(id + 2) >>> 40).toDouble / 16777216.0 - 0.5) * 0.1
-      Kernels.lonLatToPhash(clon + jx, clat + jy)
-    } else Kernels.mix64(id)
-  }
+  /** phash for an id — see [[Kernels.phashFor]]. */
+  def phashFor(id: Long): Long = Kernels.phashFor(id)
 
   /** Metadata-only row — what a parquet scan with bytes/caption pruned away
     * would deliver; the spatial pipeline reads only these columns. */
@@ -191,6 +185,21 @@ object ImageTable {
   def synthesizeMetaRange(spark: SparkSession, lo: Long, hi: Long, parts: Int = 32): Dataset[ImageMeta] = {
     import spark.implicits._
     spark.range(lo, hi, 1, parts).as[Long].map(metaFor _)
+  }
+
+  /** Pure-columnar metadata synthesis — stays inside whole-stage codegen
+    * (no per-row JVM objects; the Dataset.map/Encoder path is allocation-
+    * bound and caps multicore scaling). Bit-identical to [[metaFor]]
+    * (asserted in ImageTableSpec). */
+  def metaDf(spark: SparkSession, lo: Long, hi: Long, parts: Int = 128): DataFrame = {
+    import graft.functions.st
+    val dims = array(lit(8), lit(16), lit(32), lit(64))
+    spark.range(lo, hi, 1, parts)
+      .withColumn("image_id", format_string("img%09d", col("id")))
+      .withColumn("phash", st.phashFor(col("id")))
+      .withColumn("w", element_at(dims, (st.mix64(col("id") + 3).bitwiseAND(lit(3L)) + 1).cast("int")))
+      .withColumn("h", element_at(dims, (st.mix64(col("id") + 4).bitwiseAND(lit(3L)) + 1).cast("int")))
+      .withColumn("fmt", when(st.mix64(col("id") + 5).bitwiseAND(lit(1L)) === 0L, "png").otherwise("jpeg"))
   }
 
   /** Register image UDFs: img_dims, img_psnr, img_resize, img_frames. */
