@@ -449,7 +449,7 @@ object EntryQueries {
     ensureRegistered(s)
     val table = java.nio.file.Files.createTempDirectory("graft_flagship").toString
     val polys = districtPolygons(s)
-    val n = Math.min(imageCount(dir), 50000L)
+    val n = Math.min(imageCount(dir), 20000L)
     val batches = 4
     (0 until batches).foreach { b =>
       val lo = n * b / batches; val hi = n * (b + 1) / batches
@@ -461,7 +461,8 @@ object EntryQueries {
         col("lon"), col("lat"), polys, "geom", res = 7)
         .withColumn("tile", st.cellId(col("lon"), col("lat"), 7))
         .select("tile", "image_id", "district", "phash")
-      sources.SnapshotTable.commitBatch(joined, table, s"b$b", "tile", Seq("image_id", "district"))
+      sources.SnapshotTable.commitBatch(joined, table, s"b$b", "tile",
+        Seq("image_id", "district"), numPartitions = 8)
     }
     sources.SnapshotTable.lineage(s, table)
       .groupBy("batch_id")

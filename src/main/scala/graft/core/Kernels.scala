@@ -185,6 +185,36 @@ object Kernels {
     sig
   }
 
+  /** Random-hyperplane LSH signature: bit i = sign(v · h_i), h_ij derived
+    * from mix64(i·100003 + j) in [-1,1). One pass, no allocation. */
+  def hyperplaneSig(v: Array[Double], planes: Int): Long = {
+    var sig = 0L
+    var i = 0
+    while (i < planes) {
+      var acc = 0.0
+      var j = 0
+      while (j < v.length) {
+        acc += v(j) * (mix64(i.toLong * 100003L + j).toDouble / 9.223372036854776e18)
+        j += 1
+      }
+      if (acc >= 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** Cosine similarity of two double arrays (one pass). */
+  def cosineSim(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = Math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    dot / (Math.sqrt(na) * Math.sqrt(nb))
+  }
+
   // ---- distances ----
 
   def sqDist(ax: Double, ay: Double, bx: Double, by: Double): Double =

@@ -283,6 +283,55 @@ case class JaccardSorted(a: Expression, b: Expression)
   override def prettyName: String = "jaccard_sorted"
 }
 
+/** hyperplane_sig(emb, planes) → Long — single-pass LSH signature. */
+case class HyperplaneSig(emb: Expression, planes: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def left: Expression = emb
+  override def right: Expression = planes
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Kernels.hyperplaneSig(ArrConv.toDoubles(arr, emb.dataType), b.asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(emb = l, planes = r)
+  override def prettyName: String = "hyperplane_sig"
+}
+
+/** cosine_sim(a, b) → Double — single-pass cosine over numeric arrays. */
+case class CosineSim(a: Expression, b: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def left: Expression = a
+  override def right: Expression = b
+  override def nullSafeEval(x: Any, y: Any): Any =
+    Kernels.cosineSim(
+      ArrConv.toDoubles(x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], a.dataType),
+      ArrConv.toDoubles(y.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], b.dataType))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+private object ArrConv {
+  def toDoubles(arr: org.apache.spark.sql.catalyst.util.ArrayData, dt: DataType): Array[Double] =
+    dt match {
+      case ArrayType(FloatType, _) =>
+        val f = arr.toFloatArray(); val out = new Array[Double](f.length)
+        var i = 0; while (i < f.length) { out(i) = f(i).toDouble; i += 1 }; out
+      case ArrayType(DoubleType, _) => arr.toDoubleArray()
+      case ArrayType(LongType, _) =>
+        val l = arr.toLongArray(); val out = new Array[Double](l.length)
+        var i = 0; while (i < l.length) { out(i) = l(i).toDouble; i += 1 }; out
+      case ArrayType(IntegerType, _) =>
+        val l = arr.toIntArray(); val out = new Array[Double](l.length)
+        var i = 0; while (i < l.length) { out(i) = l(i).toDouble; i += 1 }; out
+      case other => throw new IllegalArgumentException(s"unsupported array type $other")
+    }
+}
+
 /** simhash64(text) → Long — single-pass whitespace-token SimHash. */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -403,6 +452,9 @@ object st {
   def minhashSig(text: Column, shingleLen: Int, perms: Int): Column =
     col(MinHashSig(ex(text), Literal(shingleLen), Literal(perms)))
   def simhash64(text: Column): Column = col(SimHash64(ex(text)))
+  def hyperplaneSig(emb: Column, planes: Int): Column =
+    col(HyperplaneSig(ex(emb), Literal(planes)))
+  def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def shingleHashes(text: Column, shingleLen: Int): Column =
     col(ShingleHashes(ex(text), Literal(shingleLen)))
   def jaccardSorted(a: Column, b: Column): Column = col(JaccardSorted(ex(a), ex(b)))
@@ -438,6 +490,8 @@ object st {
     one("minhash_sig") { e => MinHashSig(e(0), asI(e(1)), asI(e(2))) }
     one("simhash64") { e => SimHash64(e(0)) }
     one("shingle_hashes") { e => ShingleHashes(e(0), asI(e(1))) }
+    one("hyperplane_sig") { e => HyperplaneSig(e(0), asI(e(1))) }
+    one("cosine_sim") { e => CosineSim(e(0), e(1)) }
     one("jaccard_sorted") { e => JaccardSorted(e(0), e(1)) }
     one("st_geomfromwkt") { e => StGeomFromWkt(e(0)) }
     one("st_geomfromwkt_gc") { e => StGeomFromWktGc(e(0)) }

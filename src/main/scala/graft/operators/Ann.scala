@@ -20,12 +20,8 @@ object Ann {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; inputs cast to double element-wise first. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  /** Cosine similarity — single-pass kernel expression. */
+  def cosine(a: Column, b: Column): Column = graft.functions.st.cosineSim(a, b)
 
   /** Integer-quantized dot product: q(x) = round(x·1000) as long, then exact
     * integer Σ q(a)·q(b). Associative & overflow-safe for |x| ≤ ~2000 dims —
@@ -56,23 +52,11 @@ object Ann {
   }
 
   /** Deterministic random-hyperplane signature: bit i = sign(v · h_i), where
-    * h_i components are derived from mix64(i·dim+j) — seeded, no RNG state.
-    * Codegen'd; used as an LSH bucket id. */
-  def hyperplaneSig(emb: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { i =>
-      // h_ij in [-1,1) from a deterministic hash of (plane, component index)
-      val proj = aggregate(
-        zip_with(
-          transform(emb, x => x.cast("double")),
-          transform(sequence(lit(0), size(emb) - 1), j =>
-            (graft.functions.st.mix64(lit(i.toLong * 100003L) + j.cast("long"))
-              .cast("double") / 9.223372036854776e18)),
-          (x, h) => x * h),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+    * h_ij is derived from mix64(i·100003+j) — seeded, no RNG state. Single-
+    * pass kernel expression (the per-plane builtin formulation rebuilt the
+    * hyperplane array per row per plane). */
+  def hyperplaneSig(emb: Column, planes: Int): Column =
+    graft.functions.st.hyperplaneSig(emb, planes)
 
   /** IVF-style ANN: corpus pre-assigned to `nBuckets` coarse buckets by
     * hyperplane-sig prefix; each query scores only its own bucket. Recall

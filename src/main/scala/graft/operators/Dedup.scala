@@ -46,7 +46,10 @@ object Dedup {
       df: DataFrame, id: Column, text: Column,
       shingleLen: Int = 4, bands: Int = 8, rowsPerBand: Int = 4,
       minBands: Int = 2, minSigFrac: Double = 0.35): DataFrame = {
+    // the signature frame feeds the self-join twice plus the two estimate
+    // joins — cache it or the per-doc MinHash runs 4x
     val sig = df.select(id.as("id"), minhash(text, shingleLen, bands * rowsPerBand).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
         xxhash64(concat_ws(",", (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
