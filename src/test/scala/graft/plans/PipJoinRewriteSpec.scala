@@ -8,6 +8,11 @@ import graft.core.{Wkb, Wkt}
 
 class PipJoinRewriteSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
+    // getOrCreate silently ignores withExtensions when a session already
+    // exists (other suites create one) — clear the defaults so the builder
+    // constructs a fresh session (reusing the SparkContext) with the rule
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-ext-test")
