@@ -346,6 +346,73 @@ object EntryQueries {
        |  ${sqlLat("s_suppkey", 9973L)} AS y
        |FROM supplier""".stripMargin
 
+  /** Rollup (grouping sets) — subtotal rows carry NULL group keys. */
+  def q15Rollup(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+  val q15Sql: String =
+    """SELECT n_name, o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, o_orderpriority)""".stripMargin
+
+  /** Left-semi + left-anti joins (EXISTS / NOT EXISTS). */
+  def q16SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("kind"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("kind"))
+    withOrders.unionAll(without)
+  }
+  val q16Sql: String =
+    """SELECT c_custkey, 'has_orders' AS kind FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, 'no_orders' AS kind FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Set operations: intersect / except over derived key sets. */
+  def q17SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select((col("o_custkey") % 100L).as("k")).distinct()
+    val l = t(s, dir, "lineitem").select((col("l_partkey") % 100L).as("k")).distinct()
+    o.intersect(l).select(col("k"), lit("both").as("src"))
+      .unionAll(o.except(l).select(col("k"), lit("orders_only").as("src")))
+  }
+  val q17Sql: String =
+    """SELECT k, 'both' AS src FROM (
+      |  SELECT DISTINCT o_custkey % 100 AS k FROM orders
+      |  INTERSECT SELECT DISTINCT l_partkey % 100 AS k FROM lineitem)
+      |UNION ALL
+      |SELECT k, 'orders_only' AS src FROM (
+      |  SELECT DISTINCT o_custkey % 100 AS k FROM orders
+      |  EXCEPT SELECT DISTINCT l_partkey % 100 AS k FROM lineitem)""".stripMargin
+
+  /** Haversine distances through the engine's great-circle kernel — the
+    * oracle replays the same fdlibm (StrictMath == DuckDB libm?) formula...
+    * trig differs across engines in the last ulp, so the oracle rounds. */
+  def q18Haversine(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val sup = t(s, dir, "supplier")
+      .withColumn("lon", dLon(col("s_suppkey"), 4409L))
+      .withColumn("lat", dLat(col("s_suppkey"), 9973L))
+    sup.select(col("s_suppkey"),
+      round(st.haversine(col("lon"), col("lat"), lit(0.0), lit(0.0)) / 1000.0, 3).as("km_to_origin"))
+  }
+  val q18Sql: String =
+    s"""SELECT s_suppkey,
+       |  ROUND(2 * 6371008.8 * ASIN(LEAST(1.0, SQRT(
+       |    POW(SIN(RADIANS(${sqlLat("s_suppkey", 9973L)}) / 2), 2) +
+       |    COS(RADIANS(${sqlLat("s_suppkey", 9973L)})) * COS(0) *
+       |    POW(SIN(RADIANS(${sqlLon("s_suppkey", 4409L)}) / 2), 2)
+       |  ))) / 1000.0, 3) AS km_to_origin
+       |FROM supplier""".stripMargin
+
   // =================================================================
   // Rows-only queries (no SQL-expressible oracle; correctness pinned in
   // ScalaTest instead)
@@ -485,7 +552,11 @@ object EntryQueries {
     "q11_tumbling" -> (q11Tumbling _, q11Sql),
     "q12_ann_brute" -> (q12AnnBrute _, q12Sql),
     "q13_codec_kml" -> (q13CodecKml _, q13Sql),
-    "q14_codec_wkt" -> (q14CodecWkt _, q14Sql))
+    "q14_codec_wkt" -> (q14CodecWkt _, q14Sql),
+    "q15_rollup" -> (q15Rollup _, q15Sql),
+    "q16_semi_anti" -> (q16SemiAnti _, q16Sql),
+    "q17_setops" -> (q17SetOps _, q17Sql),
+    "q18_haversine" -> (q18Haversine _, q18Sql))
 
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_image_pipeline" -> (q20ImagePipeline _),
