@@ -100,6 +100,102 @@ object GeomOps {
     2 * EarthRadiusMeters * Math.asin(Math.min(1.0, Math.sqrt(a)))
   }
 
+  /** Planar area of a polygonal geometry (shoelace; holes subtracted,
+    * multipolygon summed). Non-areal geometries → 0. */
+  def area(g: Geom): Double = g match {
+    case GPolygon(rs) =>
+      if (rs.isEmpty) 0.0
+      else Math.abs(signedArea(rs.head)) - rs.tail.map(r => Math.abs(signedArea(r))).sum
+    case GMultiPolygon(pp) => pp.map(rs => area(GPolygon(rs))).sum
+    case GCollection(gs)   => gs.map(area).sum
+    case _                 => 0.0
+  }
+
+  /** Planar length of linear geometries (perimeter for polygons). */
+  def length(g: Geom): Double = {
+    def lineLen(ps: IndexedSeq[Pt]): Double = {
+      var acc = 0.0
+      var i = 1
+      while (i < ps.length) {
+        val dx = ps(i).x - ps(i - 1).x; val dy = ps(i).y - ps(i - 1).y
+        acc += Math.sqrt(dx * dx + dy * dy)
+        i += 1
+      }
+      acc
+    }
+    g match {
+      case GLineString(ps)      => lineLen(ps)
+      case GMultiLineString(ls) => ls.map(lineLen).sum
+      case GPolygon(rs)         => rs.map(lineLen).sum
+      case GMultiPolygon(pp)    => pp.map(rs => rs.map(lineLen).sum).sum
+      case GCollection(gs)      => gs.map(length).sum
+      case _                    => 0.0
+    }
+  }
+
+  /** Centroid: area-weighted for polygons (JTS-compatible formula), vertex
+    * mean for points/lines. NaNs for empty geometries. */
+  def centroid(g: Geom): (Double, Double) = g match {
+    case GPoint(p) => (p.x, p.y)
+    case GMultiPoint(ps) if ps.nonEmpty =>
+      (ps.map(_.x).sum / ps.length, ps.map(_.y).sum / ps.length)
+    case GLineString(ps) if ps.length >= 2 =>
+      // length-weighted midpoints of segments
+      var sx = 0.0; var sy = 0.0; var sl = 0.0
+      var i = 1
+      while (i < ps.length) {
+        val dx = ps(i).x - ps(i - 1).x; val dy = ps(i).y - ps(i - 1).y
+        val l = Math.sqrt(dx * dx + dy * dy)
+        sx += (ps(i).x + ps(i - 1).x) / 2 * l
+        sy += (ps(i).y + ps(i - 1).y) / 2 * l
+        sl += l
+        i += 1
+      }
+      if (sl == 0) (ps.head.x, ps.head.y) else (sx / sl, sy / sl)
+    case GPolygon(rs) if rs.nonEmpty =>
+      // signed-area-weighted over shell minus holes
+      var cx = 0.0; var cy = 0.0; var a = 0.0
+      rs.zipWithIndex.foreach { case (ring, idx) =>
+        var rx = 0.0; var ry = 0.0; var ra = 0.0
+        var i = 0
+        val n = ring.length
+        while (i < n) {
+          val p = ring(i); val q = ring((i + 1) % n)
+          val cross = p.x * q.y - q.x * p.y
+          ra += cross
+          rx += (p.x + q.x) * cross
+          ry += (p.y + q.y) * cross
+          i += 1
+        }
+        val sign = if (idx == 0) 1.0 else -1.0
+        val w = Math.abs(ra) * sign
+        if (ra != 0) {
+          cx += rx / (3.0 * ra) * w
+          cy += ry / (3.0 * ra) * w
+          a += w
+        }
+      }
+      if (a == 0) (rs.head.head.x, rs.head.head.y) else (cx / a, cy / a)
+    case GMultiPolygon(pp) if pp.nonEmpty =>
+      var cx = 0.0; var cy = 0.0; var a = 0.0
+      pp.foreach { rs =>
+        val w = area(GPolygon(rs))
+        val (x, y) = centroid(GPolygon(rs))
+        cx += x * w; cy += y * w; a += w
+      }
+      if (a == 0) centroid(GPoint(pp.head.head.head)) else (cx / a, cy / a)
+    case GMultiLineString(ls) if ls.nonEmpty =>
+      var cx = 0.0; var cy = 0.0; var l = 0.0
+      ls.foreach { ps =>
+        val w = length(GLineString(ps))
+        val (x, y) = centroid(GLineString(ps))
+        cx += x * w; cy += y * w; l += w
+      }
+      if (l == 0) (ls.head.head.x, ls.head.head.y) else (cx / l, cy / l)
+    case GCollection(gs) if gs.nonEmpty => centroid(gs.head) // pragmatic
+    case _ => (Double.NaN, Double.NaN)
+  }
+
   /** bbox intersection test. */
   def bboxIntersects(a: (Double, Double, Double, Double), b: (Double, Double, Double, Double)): Boolean =
     a._1 <= b._3 && b._1 <= a._3 && a._2 <= b._4 && b._2 <= a._4

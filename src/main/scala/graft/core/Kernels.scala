@@ -341,6 +341,15 @@ object Kernels {
     case _ => ()
   }
 
+  def wkbArea(wkb: Array[Byte]): Double = GeomOps.area(Wkb.read(wkb))
+  def wkbLength(wkb: Array[Byte]): Double = GeomOps.length(Wkb.read(wkb))
+  def wkbCentroid(wkb: Array[Byte]): Array[Byte] = {
+    val (x, y) = GeomOps.centroid(Wkb.read(wkb))
+    pointWkb(x, y)
+  }
+  def wkbNumPoints(wkb: Array[Byte]): Int = Wkb.read(wkb).numPoints
+  def wkbGeomType(wkb: Array[Byte]): String = Wkb.read(wkb).kind
+
   /** bbox of any WKB as (minX, minY, maxX, maxY) array. */
   def wkbBbox(wkb: Array[Byte]): Array[Double] = {
     val g = Wkb.read(wkb)

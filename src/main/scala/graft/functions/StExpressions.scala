@@ -134,6 +134,57 @@ case class StY(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_y"
 }
 
+/** Geometry accessor expressions over WKB (area/length/centroid/bbox/...). */
+case class StArea(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Kernels.wkbArea(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_area"
+}
+
+case class StLength(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Kernels.wkbLength(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_length"
+}
+
+case class StCentroid(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Kernels.wkbCentroid(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_centroid"
+}
+
+case class StNumPoints(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Kernels.wkbNumPoints(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_numpoints"
+}
+
+case class StGeomType(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Kernels.wkbGeomType(v.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_geomtype"
+}
+
+case class StBBox(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Kernels.wkbBbox(v.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_bbox"
+}
+
 /** st_cellx(cell) / st_celly(cell) → Long — grid coordinates (Morton
   * de-interleave); lets external SQL (DuckDB oracle) cross-check the cell
   * encoding with plain floor arithmetic. */
@@ -437,6 +488,12 @@ object st {
   def point(lon: Column, lat: Column): Column =
     col(StPoint(asD(ex(lon)), asD(ex(lat))))
   def x(g: Column): Column = col(StX(ex(g)))
+  def area(g: Column): Column = col(StArea(ex(g)))
+  def geomLength(g: Column): Column = col(StLength(ex(g)))
+  def centroid(g: Column): Column = col(StCentroid(ex(g)))
+  def numPoints(g: Column): Column = col(StNumPoints(ex(g)))
+  def geomType(g: Column): Column = col(StGeomType(ex(g)))
+  def bbox(g: Column): Column = col(StBBox(ex(g)))
   def cellX(cell: Column): Column = col(StCellX(asL(ex(cell))))
   def cellY(cell: Column): Column = col(StCellY(asL(ex(cell))))
   def y(g: Column): Column = col(StY(ex(g)))
@@ -479,6 +536,12 @@ object st {
     one("st_point") { e => StPoint(asD(e(0)), asD(e(1))) }
     one("st_x") { e => StX(e(0)) }
     one("st_cellx") { e => StCellX(asL(e(0))) }
+    one("st_area") { e => StArea(e(0)) }
+    one("st_length") { e => StLength(e(0)) }
+    one("st_centroid") { e => StCentroid(e(0)) }
+    one("st_numpoints") { e => StNumPoints(e(0)) }
+    one("st_geomtype") { e => StGeomType(e(0)) }
+    one("st_bbox") { e => StBBox(e(0)) }
     one("st_celly") { e => StCellY(asL(e(0))) }
     one("st_y") { e => StY(e(0)) }
     one("st_contains") { e => StContains(e(0), asD(e(1)), asD(e(2))) }
