@@ -49,10 +49,16 @@ object ShpCodec {
 
   def shapefile2GeojsonString(in: ShapeInput): String = shapefile2Geojson(in).render
 
-  /** Q8 gate: prj absent or matching /GCS_WGS_1984|WGS84/ → identity. */
+  /** Q8 gate: prj absent or matching /GCS_WGS_1984|WGS84/ → identity.
+    * Supported reprojections (from scratch; the reference delegates to
+    * proj4): Web-Mercator and UTM (any zone, WGS84 ellipsoid). */
   def transformFor(prj: Option[String]): Option[Transform] = prj match {
     case None => None
-    case Some(p) if "GCS_WGS_1984|WGS84".r.findFirstIn(p).isDefined => None
+    case Some(p) if "GCS_WGS_1984|WGS84".r.findFirstIn(p).isDefined &&
+      graft.core.Proj.parseUtmZone(p).isEmpty => None
+    case Some(p) if graft.core.Proj.parseUtmZone(p).isDefined =>
+      val (zone, north) = graft.core.Proj.parseUtmZone(p).get
+      Some((x, y) => graft.core.Proj.utmToWgs84(x, y, zone, north))
     case Some(p) if p.contains("3857") || p.toLowerCase.contains("mercator") =>
       Some(webMercatorToWgs84)
     case Some(p) =>

@@ -209,3 +209,41 @@ class CellIndexSpec extends AnyFunSuite {
     assert(List(c00, c10, c01, c11).sorted == List(c00, c10, c01, c11))
   }
 }
+
+class ProjSpec extends AnyFunSuite {
+  import graft.core.Proj
+
+  test("UTM round-trip: wgs84 -> utm -> wgs84 within 1e-8 deg") {
+    val rnd = new Random(5)
+    (1 to 500).foreach { _ =>
+      val lon = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 160 - 80 // TM series valid away from poles
+      val zone = Math.min(60, Math.max(1, ((lon + 180) / 6).toInt + 1))
+      val north = lat >= 0
+      val (e, n) = Proj.wgs84ToUtm(lon, lat, zone, north)
+      val (lon2, lat2) = Proj.utmToWgs84(e, n, zone, north)
+      assert(Math.abs(lon - lon2) < 1e-8, s"lon $lon -> $lon2 (zone $zone)")
+      assert(Math.abs(lat - lat2) < 1e-8, s"lat $lat -> $lat2")
+    }
+  }
+
+  test("UTM anchor points") {
+    // central meridian, equator -> easting 500000, northing 0
+    val (e0, n0) = Proj.wgs84ToUtm(Proj.utmCentralMeridian(31), 0.0, 31, north = true)
+    assert(Math.abs(e0 - 500000.0) < 1e-6 && Math.abs(n0) < 1e-6)
+    // southern hemisphere false northing
+    val (_, nS) = Proj.wgs84ToUtm(Proj.utmCentralMeridian(31), -0.001, 31, north = false)
+    assert(nS < 10000000.0 && nS > 9999000.0)
+  }
+
+  test("prj zone parsing + shp transform gate") {
+    assert(Proj.parseUtmZone("""PROJCS["WGS_1984_UTM_Zone_17N",GEOGCS["GCS_WGS_1984"]]""").contains((17, true)))
+    assert(Proj.parseUtmZone("UTM zone 33S").contains((33, false)))
+    assert(Proj.parseUtmZone("""GEOGCS["GCS_WGS_1984"]""").isEmpty)
+    // the shapefile gate picks UTM even when the prj also mentions WGS_1984
+    val t = graft.codecs.ShpCodec.transformFor(
+      Some("""PROJCS["WGS_1984_UTM_Zone_31N",GEOGCS["GCS_WGS_1984"]]""")).get
+    val (lon, lat) = t(500000.0, 0.0)
+    assert(Math.abs(lon - 3.0) < 1e-9 && Math.abs(lat) < 1e-9)
+  }
+}

@@ -52,6 +52,27 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.currentSnapshot(full).version == 4)
   }
 
+  test("full image+caption table through the snapshot layer: bytes + captions survive exactly") {
+    val dir = freshDir()
+    val images = ImageTable.synthesize(spark, 500).toDF()
+      .withColumn("tile", graft.functions.st.cellId(
+        graft.operators.SpatialOps.phashLon(col("phash")),
+        graft.operators.SpatialOps.phashLat(col("phash")), 7))
+    SnapshotTable.commitBatch(images, dir, "b0", "tile", Seq("image_id"), numPartitions = 4)
+    val back = SnapshotTable.read(spark, dir)
+    assert(back.count() == 500)
+    // per-row invariant vs the generator (the "reference" for this table):
+    // exact caption equality + exact bytes (PSNR 99 == identical pixels)
+    val rows = back.select("image_id", "bytes", "caption", "fmt", "w", "h").collect()
+    rows.foreach { r =>
+      val id = r.getString(0).drop(3).toLong
+      val ref = ImageTable.rowFor(id)
+      assert(r.getString(2) == ref.caption, s"caption mismatch for img$id")
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](1), ref.bytes), s"bytes img$id")
+      assert(ImageTable.psnr(r.getAs[Array[Byte]](1), ref.bytes) == 99.0)
+    }
+  }
+
   test("fingerprints independent of parallelism (byte-match determinism)") {
     val a = freshDir(); val b = freshDir()
     SnapshotTable.commitBatch(batchDf(0, 4000, 2), a, "b0", "bucket", Seq("id"), numPartitions = 4)
