@@ -97,5 +97,13 @@ case class PipJoinRewrite(sqlConf: org.apache.spark.sql.internal.SQLConf) extend
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(session => PipJoinRewrite(session.sessionState.conf))
+    // register the full st_* / codec function surface on session creation,
+    // so `--conf spark.sql.extensions=graft.plans.GraftExtensions` alone
+    // gives SQL users the whole engine
+    e.injectCheckRule { session =>
+      graft.functions.st.registerAll(session)
+      graft.functions.codecs.registerAll(session)
+      _ => ()
+    }
   }
 }

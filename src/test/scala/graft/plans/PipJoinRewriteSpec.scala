@@ -21,8 +21,7 @@ class PipJoinRewriteSpec extends AnyFunSuite {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    st.registerAll(s)
-    s
+    s // note: no registerAll — functions must come from the extension
   }
   import spark.implicits._
 
@@ -66,6 +65,15 @@ class PipJoinRewriteSpec extends AnyFunSuite {
       .select("id", "poly_id").as[(Long, Long)].collect().toSet
     assert(got == want)
     assert(want.nonEmpty)
+  }
+
+  test("SQL functions injected by the extension alone") {
+    val r = spark.sql("SELECT st_cellid(1.0d, 2.0d, 5) c, " +
+      "st_aswkt(st_geomfromwkt('POINT (1 2)')) w, " +
+      "length(kml_to_geojson('<kml><Document><Placemark><Point><coordinates>1,2</coordinates></Point></Placemark></Document></kml>')) n").head()
+    assert(r.getLong(0) == graft.core.CellIndex.encode(1.0, 2.0, 5))
+    assert(r.getString(1) == "POINT (1 2)")
+    assert(r.getInt(2) > 50)
   }
 
   test("joins that already have an equi key are left alone") {
