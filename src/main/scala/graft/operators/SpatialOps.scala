@@ -128,7 +128,10 @@ object SpatialOps {
     var acc: Option[DataFrame] = None
     var iter = 0
     while (iter < 12 && radius <= maxRing) {
-      val topk = topkFor(pending, radius).cache()
+      // persisted so the stats pass and the final union share one
+      // computation; blocks are evicted LRU (caller actions hit the cache)
+      val topk = topkFor(pending, radius).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val guarantee = radius.toDouble * cellH
       // satisfied: k results and kth distance within the guaranteed disk
       val stats = topk.groupBy("q_id")
