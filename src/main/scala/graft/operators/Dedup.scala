@@ -54,10 +54,19 @@ object Dedup {
       array((0 until bands).map { b =>
         xxhash64(concat_ws(",", (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
       }: _*)).as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
+    // bucket-and-pair instead of a self-join: one shuffle on (band, bh),
+    // ids collected per bucket (sorted for determinism), pairs exploded
+    // in-bucket. Same output as the equi self-join, half the shuffles, and
+    // the quadratic blowup of a hot band-hash stays inside one task where
+    // it is visible/cappable rather than amplified through a join.
+    val buckets = banded.groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_bands_matched"))
       // pass 1: require >= minBands matching bands (cuts the false-positive
