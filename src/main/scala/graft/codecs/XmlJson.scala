@@ -22,6 +22,15 @@ import graft.core._
   */
 object XmlJson {
 
+  /** JS truthiness of a JSON value (objects/arrays truthy even when empty). */
+  def jsTruthy(v: JValue): Boolean = v match {
+    case JNull    => false
+    case JBool(b) => b
+    case JNum(d)  => d != 0 && !d.isNaN
+    case JStr(s)  => s.nonEmpty
+    case _        => true
+  }
+
   /** JS numeric sniff: `!isNaN(parseFloat(v)) && isFinite(v)` (`XML.js:54,86`). */
   def sniff(s: String): JValue = {
     val pf = jsParseFloat(s)
@@ -209,7 +218,12 @@ object XmlJson {
       kids.foreach { k =>
         val tag = k.tag
         if (!tag.startsWith("_")) {
-          if (obj.contains(tag)) {
+          // `if (json[children.tagName])` (`XML.js:65`) is a JS TRUTHINESS
+          // check: a falsy existing value (empty element → "", or a sniffed
+          // 0) is silently OVERWRITTEN instead of promoted to an array —
+          // reproduced (found by fuzz parity: <Placemark/> before a real
+          // Placemark makes the reference drop the empty one)
+          if (obj.get(tag).exists(jsTruthy)) {
             if (!sameName.contains(tag)) {
               obj(tag) = JArr.of(obj(tag))
               sameName += tag
