@@ -423,8 +423,9 @@ object EntryQueries {
   def q20ImagePipeline(s: SparkSession, dir: String): DataFrame = {
     ensureRegistered(s)
     val n = imageCount(dir)
-    // metadata-only synthesis == a parquet scan with bytes/caption pruned
-    val images = ImageTable.synthesizeMeta(s, n).toDF()
+    // columnar metadata synthesis == a parquet scan with bytes/caption
+    // pruned; stays in whole-stage codegen (no per-row Encoder objects)
+    val images = ImageTable.metaDf(s, 0, n)
       .withColumn("lon", SpatialOps.phashLon(col("phash")))
       .withColumn("lat", SpatialOps.phashLat(col("phash")))
     val polys = districtPolygons(s)
@@ -520,7 +521,7 @@ object EntryQueries {
     val batches = 4
     (0 until batches).foreach { b =>
       val lo = n * b / batches; val hi = n * (b + 1) / batches
-      val images = ImageTable.synthesizeMetaRange(s, lo, hi).toDF()
+      val images = ImageTable.metaDf(s, lo, hi)
         .withColumn("lon", SpatialOps.phashLon(col("phash")))
         .withColumn("lat", SpatialOps.phashLat(col("phash")))
       val joined = SpatialOps.pipJoin(

@@ -156,6 +156,16 @@ class ImageTableSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("columnar metaDf == typed metaFor rows") {
+    val a = ImageTable.metaDf(spark, 0, 500).orderBy("id")
+      .select("image_id", "phash", "w", "h", "fmt").collect()
+    val b = (0L until 500L).map(ImageTable.metaFor)
+    a.zip(b).foreach { case (r, m) =>
+      assert(r.getString(0) == m.image_id && r.getLong(1) == m.phash &&
+        r.getInt(2) == m.w && r.getInt(3) == m.h && r.getString(4) == m.fmt)
+    }
+  }
+
   test("synthesis deterministic across partitionings") {
     val a = ImageTable.synthesize(spark, 200, parts = 2).collect().sortBy(_.image_id)
     val b = ImageTable.synthesize(spark, 200, parts = 7).collect().sortBy(_.image_id)
