@@ -413,6 +413,29 @@ object EntryQueries {
        |  ))) / 1000.0, 3) AS km_to_origin
        |FROM supplier""".stripMargin
 
+  /** Tile-pyramid rollup: counts at res 8 rolled up to res 4 ancestors via
+    * st_cellparent — the oracle recomputes the coarse grid directly with
+    * floor arithmetic, pinning the Morton hierarchy. */
+  def q19TilePyramid(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val c = t(s, dir, "customer")
+      .withColumn("lon", dLon(col("c_custkey"), 7919L))
+      .withColumn("lat", dLat(col("c_custkey"), 104729L))
+      .withColumn("cell8", st.cellId(col("lon"), col("lat"), 8))
+      .withColumn("cell4", st.cellParent(col("cell8"), 4))
+    c.groupBy(st.cellX(col("cell4")).as("px"), st.cellY(col("cell4")).as("py"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("cell8")).as("n_children"))
+  }
+  val q19Sql: String =
+    s"""SELECT
+       |  CAST(FLOOR((${sqlLon("c_custkey", 7919L)} + 180.0)/360.0*16.0) AS BIGINT) AS px,
+       |  CAST(FLOOR((${sqlLat("c_custkey", 104729L)} + 90.0)/180.0*16.0) AS BIGINT) AS py,
+       |  COUNT(*) AS n,
+       |  COUNT(DISTINCT (
+       |    CAST(FLOOR((${sqlLon("c_custkey", 7919L)} + 180.0)/360.0*256.0) AS BIGINT) * 1000 +
+       |    CAST(FLOOR((${sqlLat("c_custkey", 104729L)} + 90.0)/180.0*256.0) AS BIGINT))) AS n_children
+       |FROM customer GROUP BY px, py""".stripMargin
+
   // =================================================================
   // Rows-only queries (no SQL-expressible oracle; correctness pinned in
   // ScalaTest instead)
@@ -557,7 +580,8 @@ object EntryQueries {
     "q15_rollup" -> (q15Rollup _, q15Sql),
     "q16_semi_anti" -> (q16SemiAnti _, q16Sql),
     "q17_setops" -> (q17SetOps _, q17Sql),
-    "q18_haversine" -> (q18Haversine _, q18Sql))
+    "q18_haversine" -> (q18Haversine _, q18Sql),
+    "q19_tile_pyramid" -> (q19TilePyramid _, q19Sql))
 
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_image_pipeline" -> (q20ImagePipeline _),

@@ -39,7 +39,9 @@ object XmlJson {
 
   /** JS parseFloat: longest valid decimal prefix after leading whitespace. */
   def jsParseFloat(s0: String): Double = {
-    val s = s0.dropWhile(_.isWhitespace)
+    var ws = 0
+    while (ws < s0.length && Character.isWhitespace(s0.charAt(ws))) ws += 1
+    val s = if (ws == 0) s0 else s0.substring(ws)
     var i = 0
     val n = s.length
     def digits(): Unit = while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
@@ -92,6 +94,12 @@ object XmlJson {
     val children = mutable.ArrayBuffer.empty[AnyRef] // XEl | String (text)
     def elementChildren: Iterator[XEl] = children.iterator.collect { case e: XEl => e }
     def textContent: String = {
+      // fast path: the overwhelmingly common single-text-child leaf
+      if (children.length == 1) children(0) match {
+        case t: String => return t
+        case _         => ()
+      }
+      if (children.isEmpty) return ""
       val sb = new StringBuilder
       def go(e: XEl): Unit = e.children.foreach {
         case t: String => sb.append(t)
@@ -209,49 +217,53 @@ object XmlJson {
   }
 
   def elementToJson(e: XEl): JValue = {
-    val obj = mutable.LinkedHashMap.empty[String, JValue]
-    e.attrs.foreach { case (k, v) => obj("@" + k) = sniff(v) }
-    val kids = e.elementChildren.toVector
-    if (kids.nonEmpty) {
-      var arrayMode: Option[mutable.ArrayBuffer[JValue]] = None
-      val sameName = mutable.Set.empty[String]
-      kids.foreach { k =>
+    // flat ordered field list with linear lookup — elements have few keys,
+    // and skipping the per-element hash map keeps this hot path allocation-
+    // light (parses run once per row in the codec expressions)
+    val fields = new mutable.ArrayBuffer[(String, JValue)](e.attrs.length + 4)
+    e.attrs.foreach { case (k, v) => fields += (("@" + k) -> sniff(v)) }
+    var hasKids = false
+    var arrayMode: mutable.ArrayBuffer[JValue] = null
+    var sameName: mutable.ArrayBuffer[String] = null
+    e.children.foreach {
+      case k: XEl =>
+        hasKids = true
         val tag = k.tag
         if (!tag.startsWith("_")) {
+          val idx = fields.indexWhere(_._1 == tag)
           // `if (json[children.tagName])` (`XML.js:65`) is a JS TRUTHINESS
           // check: a falsy existing value (empty element → "", or a sniffed
           // 0) is silently OVERWRITTEN instead of promoted to an array —
           // reproduced (found by fuzz parity: <Placemark/> before a real
           // Placemark makes the reference drop the empty one)
-          if (obj.get(tag).exists(jsTruthy)) {
-            if (!sameName.contains(tag)) {
-              obj(tag) = JArr.of(obj(tag))
+          if (idx >= 0 && jsTruthy(fields(idx)._2)) {
+            val promoted = sameName != null && sameName.contains(tag)
+            val arr = fields(idx)._2 match {
+              case JArr(items) if promoted => JArr(items :+ elementToJson(k))
+              case other                   => JArr.of(other, elementToJson(k))
+            }
+            if (!promoted) {
+              if (sameName == null) sameName = new mutable.ArrayBuffer[String](2)
               sameName += tag
             }
-            obj(tag) = obj(tag) match {
-              case JArr(items) => JArr(items :+ elementToJson(k))
-              case other       => JArr.of(other, elementToJson(k))
-            }
+            fields(idx) = (tag, arr)
+          } else if (idx >= 0) {
+            fields(idx) = (tag, elementToJson(k))
           } else {
-            obj(tag) = elementToJson(k)
+            fields += (tag -> elementToJson(k))
           }
         } else {
           // "_"-prefixed child: parent becomes an array (`XML.js:75-81`)
-          val buf = arrayMode.getOrElse {
-            val b = mutable.ArrayBuffer.empty[JValue]
-            arrayMode = Some(b)
-            b
-          }
-          buf += elementToJson(k)
+          if (arrayMode == null) arrayMode = new mutable.ArrayBuffer[JValue](4)
+          arrayMode += elementToJson(k)
         }
-      }
-      arrayMode match {
-        case Some(buf) => JArr(buf.toVector)
-        case None      => JObj(obj.toVector)
-      }
-    } else {
+      case _ => () // text among element children: ignored (`XML.js:59-83`)
+    }
+    if (arrayMode != null) JArr(arrayMode.toVector)
+    else if (hasKids) JObj(fields.toVector)
+    else {
       val value = sniff(e.textContent)
-      if (obj.nonEmpty) { obj("#") = value; JObj(obj.toVector) }
+      if (fields.nonEmpty) { fields += ("#" -> value); JObj(fields.toVector) }
       else value
     }
   }
