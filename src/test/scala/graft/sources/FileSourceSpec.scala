@@ -112,3 +112,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 }
+
+/** Batched multimodal operators (mapPartitions plumbing) + stateful
+  * streaming (flatMapGroupsWithState custom state). */
+class MultimodalStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("batched image feature extraction over partitions") {
+    import graft.operators.ImageOps
+    val imgs = ImageTable.synthesize(spark, 200, parts = 7).toDF()
+    val feats = ImageOps.extractFeatures(imgs).collect()
+    assert(feats.length == 200)
+    feats.foreach { f =>
+      assert(f.mean_r >= 0 && f.mean_r <= 255)
+      assert(f.brightness > 0)
+      val ref = ImageTable.metaFor(f.image_id.drop(3).toLong)
+      assert(f.w == ref.w && f.h == ref.h && f.fmt == ref.fmt)
+    }
+    val thumbs = ImageOps.thumbnails(imgs, 4, 4).collect()
+    assert(thumbs.forall(r => ImageTable.decode(r.getAs[Array[Byte]](1)).getWidth == 4))
+  }
+
+  test("stateful streaming: per-user running count via flatMapGroupsWithState") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger, GroupState}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_state")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.parquet(dir.resolve("in").toString)
+    val schema = spark.read.parquet(dir.resolve("in").toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.resolve("in").toString)
+      .selectExpr("user_id", "event_id")
+      .as[(Long, Long)]
+    val counted = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val total = prev + events.length
+          state.update(total)
+          Iterator((user, total))
+      }
+    val q = counted.toDF("user_id", "running_total").writeStream
+      .outputMode("append").format("memory").queryName("graft_state_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT user_id, max(running_total) FROM graft_state_out GROUP BY user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+}
