@@ -437,12 +437,15 @@ object EntryQueries {
        |FROM customer GROUP BY px, py""".stripMargin
 
   // =================================================================
-  // Rows-only queries (no SQL-expressible oracle; correctness pinned in
-  // ScalaTest instead)
+  // q20–q27: engine-kernel queries, oracle-checked via OracleSqlGen (the
+  // DuckDB SQL replays phashFor/mix64/simhash/hyperplane-LSH/ray-cast
+  // bit-for-bit — see OracleSqlGen's scaladoc for the replication rules)
   // =================================================================
 
   /** Flagship: synthetic image table → phash-derived points → PIP join with
-    * district polygons → z-ordered tile assignment → per-tile stats. */
+    * district polygons → z-ordered tile assignment → per-tile stats.
+    * Counts are exact (COUNT + COUNT DISTINCT — both scale as ordinary
+    * two-phase hash aggregates) so the DuckDB oracle can hash-match. */
   def q20ImagePipeline(s: SparkSession, dir: String): DataFrame = {
     ensureRegistered(s)
     val n = imageCount(dir)
@@ -457,22 +460,32 @@ object EntryQueries {
       col("lon"), col("lat"), polys, "geom", res = 7)
     SpatialOps.tileAssign(joined, col("lon"), col("lat"),
         tileRes = 7, numPartitions = 32, sortCols = Seq("image_id"))
-      .groupBy(col("district"), col("tile"))
+      .groupBy(col("district"),
+        st.cellX(col("tile")).as("tile_x"), st.cellY(col("tile")).as("tile_y"))
       .agg(count(lit(1)).as("n_images"),
-        approx_count_distinct(col("phash")).as("approx_phashes"))
+        countDistinct(col("phash")).as("n_phashes"))
   }
+  def q20Sql: String = OracleSqlGen.q20Sql(hexRings)
 
-  /** District polygon dictionary: 3 hotspot hexagons + coarse world bands. */
-  def districtPolygons(s: SparkSession): DataFrame = {
-    import graft.core.{Wkb, GPolygon, Pt}
-    val hexes = ImageTable.hotspots.zipWithIndex.map { case ((lon, lat), i) =>
+  /** Hotspot hexagon rings (7 points, closed): the SINGLE source of vertex
+    * doubles for both the Spark WKB dictionary and the DuckDB oracle SQL —
+    * both engines ray-cast against bit-identical coordinates. */
+  def hexRings: Seq[(String, Vector[graft.core.Pt])] = {
+    import graft.core.Pt
+    ImageTable.hotspots.zipWithIndex.map { case ((lon, lat), i) =>
       val r = 0.25
       val ring = (0 to 6).map { k =>
         val a = Math.PI / 3 * k
         Pt(lon + r * Math.cos(a), lat + r * Math.sin(a))
       }.toVector
-      (s"hotspot_$i", Wkb.write(GPolygon(Vector(ring))))
-    }
+      (s"hotspot_$i", ring)
+    }.toSeq
+  }
+
+  /** District polygon dictionary: 3 hotspot hexagons + coarse world bands. */
+  def districtPolygons(s: SparkSession): DataFrame = {
+    import graft.core.{Wkb, GPolygon, Pt}
+    val hexes = hexRings.map { case (name, ring) => (name, Wkb.write(GPolygon(Vector(ring)))) }
     val bands = (0 until 12).map { i =>
       val lonMin = -180.0 + i * 30.0
       val ring = Vector(
@@ -484,28 +497,40 @@ object EntryQueries {
     (hexes ++ bands).toSeq.toDF("district", "geom")
   }
 
-  /** MinHash LSH candidates + exact Jaccard verification. */
+  /** MinHash LSH candidates + exact Jaccard verification. Threshold 0.6
+    * sits in the corpus' similarity gap (background < 0.50, near-dups
+    * ≥ 0.75), and LSH recall at 0.6 is 100% here (pinned in OperatorsSpec),
+    * so the output equals the brute-force oracle; `n_dropped_buckets`
+    * asserts the hot-bucket cap never fired. */
   def q21MinhashDedup(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val cands = Dedup.minhashCandidates(d, col("doc_id"), col("text"))
-    Dedup.jaccardVerify(cands, d, col("doc_id"), col("text"), minJaccard = 0.5)
+    Dedup.jaccardVerify(cands, d, col("doc_id"), col("text"), minJaccard = 0.6)
+      .select("id_a", "id_b", "jaccard", "n_dropped_buckets")
   }
+  def q21Sql: String = OracleSqlGen.q21Sql(0.6)
 
-  /** SimHash near-dup pairs. */
+  /** SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole blocking — 100%
+    * recall by construction, so the bucketed plan equals the brute oracle. */
   def q22Simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 16)
+    Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 3)
+      .select("id_a", "id_b", "hamming", "n_dropped_buckets")
+  def q22Sql: String = OracleSqlGen.q22Sql(3)
 
-  /** Language-ID + quality scoring + token counts (heuristic lenses). */
+  /** Language-ID + integer quality score + token counts + fingerprint. */
   def q23Quality(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     d.select(col("doc_id"), col("lang"),
       TextOps.langIdHeuristic(col("text")).as("lang_pred"),
-      TextOps.qualityScore(col("text")).as("quality"),
-      TextOps.tokenCountBpe(col("text")).as("bpe_tokens"),
+      TextOps.qualityScoreBp(col("text")).as("quality_bp"),
+      TextOps.tokenCountBpe(col("text")).cast("long").as("bpe_tokens"),
       TextOps.fingerprint(col("text")).as("fp"))
   }
+  def q23Sql: String = OracleSqlGen.q23Sql
 
-  /** IVF-style bucketed ANN (approximate; recall vs brute pinned in tests). */
+  /** IVF-style bucketed ANN. Genuinely approximate — the oracle replays the
+    * whole algorithm (buckets, probes, quantized scores) in SQL, pinning the
+    * approximation itself; recall vs brute is pinned in OperatorsSpec. */
   def q24AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Ann.ivfTopK(
@@ -513,14 +538,28 @@ object EntryQueries {
       emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
       k = 10)
   }
+  def q24Sql: String = OracleSqlGen.q24Sql
 
-  /** Embedding-cosine near-duplicate pairs. */
-  def q25EmbedNearDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-      planes = 4, minCosine = 0.3)
+  /** Embedding near-duplicate pairs via banded hyperplane LSH (64 planes ×
+    * 4 bands) + the exact integer predicate cos² ≥ 361/400 (cos ≥ 0.95).
+    * The corpus has no organic near-dups (max cosine 0.51), so it is
+    * augmented with deterministic near-copies (x·1.02 + 0.01) of vec_id<50 —
+    * the oracle replays augmentation, banding, and predicate exactly. */
+  def q25EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val aug = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("emb"), x => x * 1.02 + 0.01).as("emb"))
+    Dedup.embeddingNearDupQuantized(base.unionAll(aug), col("vec_id"), col("emb"))
+      .select("id_a", "id_b", "dot_q", "n_dropped_buckets")
+  }
+  def q25Sql: String = OracleSqlGen.q25Sql
 
   /** Multimodal: decode-verify the synthetic images (PSNR vs re-render,
-    * format/dimension invariants) — real ImageIO decode on executors. */
+    * format/dimension invariants) — real ImageIO decode on executors. The
+    * oracle derives the expected (fmt, n, n_dims_ok=n) distribution from the
+    * synthesis formula, so any decode regression breaks the hash match. */
   def q26ImageInvariants(s: SparkSession, dir: String): DataFrame = {
     ensureRegistered(s)
     val n = Math.min(imageCount(dir), 2000L)
@@ -559,6 +598,8 @@ object EntryQueries {
       .groupBy("batch_id")
       .agg(count(lit(1)).as("n_buckets"), sum("rows").as("rows"))
   }
+  def q26Sql: String = OracleSqlGen.q26Sql
+  def q27Sql: String = OracleSqlGen.q27Sql(hexRings)
 
   // ---- wiring ----
 
@@ -581,15 +622,16 @@ object EntryQueries {
     "q16_semi_anti" -> (q16SemiAnti _, q16Sql),
     "q17_setops" -> (q17SetOps _, q17Sql),
     "q18_haversine" -> (q18Haversine _, q18Sql),
-    "q19_tile_pyramid" -> (q19TilePyramid _, q19Sql))
+    "q19_tile_pyramid" -> (q19TilePyramid _, q19Sql),
+    "q20_image_pipeline" -> (q20ImagePipeline _, q20Sql),
+    "q21_minhash_dedup" -> (q21MinhashDedup _, q21Sql),
+    "q22_simhash" -> (q22Simhash _, q22Sql),
+    "q23_quality" -> (q23Quality _, q23Sql),
+    "q24_ann_ivf" -> (q24AnnIvf _, q24Sql),
+    "q25_embed_neardup" -> (q25EmbedNearDup _, q25Sql),
+    "q26_image_invariants" -> (q26ImageInvariants _, q26Sql),
+    "q27_snapshot_pipeline" -> (q27SnapshotPipeline _, q27Sql))
 
-  val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q20_image_pipeline" -> (q20ImagePipeline _),
-    "q21_minhash_dedup" -> (q21MinhashDedup _),
-    "q22_simhash" -> (q22Simhash _),
-    "q23_quality" -> (q23Quality _),
-    "q24_ann_ivf" -> (q24AnnIvf _),
-    "q25_embed_neardup" -> (q25EmbedNearDup _),
-    "q26_image_invariants" -> (q26ImageInvariants _),
-    "q27_snapshot_pipeline" -> (q27SnapshotPipeline _))
+  /** Kept for API compatibility: every query is oracle-checked now. */
+  val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }

@@ -1,0 +1,386 @@
+package graft
+
+import graft.core.Pt
+
+/** DuckDB oracle-SQL generation for the q20–q27 family.
+  *
+  * The driver's correctness gate (Verify → DuckDB) can only see queries with
+  * an `oracleSql` entry. These queries run over synthetic inputs derived by
+  * engine kernels (splitmix64, rolling hashes, SimHash, hyperplane LSH,
+  * ray-cast PIP), so the oracle must replay those kernels in pure SQL with
+  * bit-identical results:
+  *
+  *  - wrapping 64-bit integer arithmetic is emulated in UBIGINT/HUGEINT with
+  *    explicit `% 2^64` (HUGEINT is signed 128-bit, so 64×64-bit products are
+  *    split into 32-bit halves to avoid INT128 overflow);
+  *  - splitmix64 is expanded as a staged column chain (DuckDB lateral column
+  *    aliases), one stage per xorshift/multiply step;
+  *  - per-character rolling hashes use list_reduce over unicode() codes
+  *    (the corpus is pure ASCII — verified — so Java charAt == codepoint);
+  *  - double arithmetic (phash→lon/lat, hyperplane dot products, ray-cast
+  *    crossing tests) is written with the exact same operation order as the
+  *    Scala kernels; IEEE-754 ops are deterministic across engines, and
+  *    sequential folds use list_reduce (guaranteed left fold);
+  *  - polygon vertices are inlined as shortest-round-trip double literals
+  *    produced by the very Scala code the Spark side uses, so both engines
+  *    ray-cast against identical coordinates.
+  *
+  * Everything here mirrors a named kernel: cite per method.
+  */
+object OracleSqlGen {
+
+  private val W = "18446744073709551616" // 2^64
+
+  private def u(c: Long): String = java.lang.Long.toUnsignedString(c)
+
+  /** (x + c) mod 2^64 over UBIGINT expressions. */
+  private def addc(x: String, c: Long): String =
+    s"CAST((CAST($x AS HUGEINT) + ${u(c)}) % $W AS UBIGINT)"
+
+  /** (x * c) mod 2^64 — 32-bit split so no intermediate exceeds INT128. */
+  private def mulmod(x: String, c: Long): String = {
+    val cl = u(c & 0xFFFFFFFFL)
+    s"CAST(((CAST(($x & 4294967295) AS HUGEINT) * ${u(c)}) + " +
+      s"((CAST(($x >> 32) AS HUGEINT) * $cl) % 4294967296) * 4294967296) % $W AS UBIGINT)"
+  }
+
+  private def xsr(x: String, n: Int): String = s"xor($x, ($x >> $n))"
+
+  /** Staged splitmix64 (Kernels.mix64): emits 4 SELECT-list items, the last
+    * aliased `out`. Use inside a subquery/CTE stage; reference `out` above. */
+  def mix64Cols(base: String, out: String): String = {
+    val z1 = s"${out}_z1"; val z2 = s"${out}_z2"; val z3 = s"${out}_z3"
+    s"${addc(base, 0x9E3779B97F4A7C15L)} AS $z1,\n  " +
+      s"${mulmod(xsr(z1, 30), 0xBF58476D1CE4E5B9L)} AS $z2,\n  " +
+      s"${mulmod(xsr(z2, 27), 0x94D049BB133111EBL)} AS $z3,\n  " +
+      s"${xsr(z3, 31)} AS $out"
+  }
+
+  /** UBIGINT → BIGINT with two's-complement wraparound (Scala Long). */
+  def toSigned(x: String): String =
+    s"(CASE WHEN $x >= 9223372036854775808 THEN CAST(CAST($x AS HUGEINT) - $W AS BIGINT) " +
+      s"ELSE CAST($x AS BIGINT) END)"
+
+  /** Rolling polynomial hash h = h*31 + code over the chars of string expr
+    * `s` (Kernels.fp64 / token hashing), as a left fold with 64-bit wrap. */
+  def rollHash(s: String): String =
+    s"""list_reduce(list_prepend(CAST(1125899906842597 AS UBIGINT),
+       |    [CAST(unicode(($s)[i]) AS UBIGINT) for i in generate_series(1, len($s))]),
+       |    (h, c) -> CAST((CAST(h AS HUGEINT) * 31 + c) % $W AS UBIGINT))""".stripMargin
+
+  /** Rolling hash of the 4 chars of `t` starting at 1-based position `j`
+    * (Kernels.shingleHashes inner loop, shingleLen=4). Single mod at the end
+    * is congruent to per-step wrapping. */
+  private def roll4(t: String, j: String): String =
+    s"CAST(((((CAST(1125899906842597 AS HUGEINT) * 31 + unicode($t[$j])) * 31 + " +
+      s"unicode($t[$j + 1])) * 31 + unicode($t[$j + 2])) * 31 + unicode($t[$j + 3])) % $W AS UBIGINT)"
+
+  // =================================================================
+  // synthetic image table (ImageTable.metaDf / Kernels.phashFor)
+  // =================================================================
+
+  /** Image count for the scale factor, derived from the customer table:
+    * imageCount = max(1000, sf·2e6) and |customer| = sf·150000 ⇒
+    * n = max(1000, |customer|·40/3) (exact: |customer| divisible by 3). */
+  val nImagesExpr: String =
+    "(SELECT GREATEST(1000, COUNT(*) * 40 // 3) FROM customer)"
+
+  /** WITH-fragment (no leading WITH) ending in a `pts` relation:
+    * (id, phash UBIGINT, lon, lat) for ids 0..n-1 — replays
+    * Kernels.phashFor (hotspot placement + jitter) and phashLon/Lat. */
+  def ptsCtes(nExpr: String): String =
+    s"""nimg AS (SELECT $nExpr AS n),
+       |ids AS (SELECT unnest(generate_series(0, (SELECT n FROM nimg) - 1)) AS id),
+       |mx AS (SELECT id,
+       |  ${mix64Cols("CAST(id AS UBIGINT)", "m0")},
+       |  ${mix64Cols("CAST(id + 1 AS UBIGINT)", "m1")},
+       |  ${mix64Cols("CAST(id + 2 AS UBIGINT)", "m2")}
+       |  FROM ids),
+       |hp AS (SELECT id, m0,
+       |  CASE WHEN id % 3 = 0 THEN 121.5654 WHEN id % 3 = 1 THEN -0.1278 ELSE -74.006 END
+       |    + (CAST(m1 >> 40 AS DOUBLE) / 16777216.0 - 0.5) * 0.1 AS hlon,
+       |  CASE WHEN id % 3 = 0 THEN 25.033 WHEN id % 3 = 1 THEN 51.5074 ELSE 40.7128 END
+       |    + (CAST(m2 >> 40 AS DOUBLE) / 16777216.0 - 0.5) * 0.1 AS hlat
+       |  FROM mx),
+       |ph AS (SELECT id,
+       |  CASE WHEN id % 10 < 3 THEN
+       |    CAST(LEAST(4294967295, GREATEST(0, CAST(TRUNC((hlon + 180.0) / 360.0 * 4294967296.0) AS BIGINT))) AS UBIGINT) * 4294967296
+       |    + CAST(LEAST(4294967295, GREATEST(0, CAST(TRUNC((hlat + 85.0) / 170.0 * 4294967296.0) AS BIGINT))) AS UBIGINT)
+       |  ELSE m0 END AS phash
+       |  FROM hp),
+       |pts AS (SELECT id, phash,
+       |  CAST(phash >> 32 AS DOUBLE) / 4294967296.0 * 360.0 - 180.0 AS lon,
+       |  CAST(phash & 4294967295 AS DOUBLE) / 4294967296.0 * 170.0 - 85.0 AS lat
+       |  FROM ph)""".stripMargin
+
+  // =================================================================
+  // district PIP (EntryQueries.districtRings / Kernels.polygonContains)
+  // =================================================================
+
+  /** Shortest-round-trip double literal — DuckDB parses decimal strings to
+    * nearest double, so Java's shortest repr round-trips exactly. */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E")) s.replace("E", "e") else s
+  }
+
+  /** hexes CTE: 3 hotspot hexagon rings as literal vertex columns
+    * (x0..x6, y0..y6), doubles identical to the Spark WKB dictionary. */
+  def hexesCte(rings: Seq[(String, Vector[Pt])]): String = {
+    val rows = rings.map { case (name, ring) =>
+      require(ring.length == 7, s"hexagon ring must have 7 points, got ${ring.length}")
+      val coords = ring.flatMap(p => Seq(dlit(p.x), dlit(p.y))).mkString(", ")
+      s"('$name', $coords)"
+    }
+    val cols = (0 to 6).flatMap(i => Seq(s"x$i", s"y$i")).mkString(", ")
+    s"hexes AS (SELECT * FROM (VALUES\n  ${rows.mkString(",\n  ")})\n  AS t(district, $cols))"
+  }
+
+  /** Even-odd ray-cast parity over the 6 hexagon edges — the exact
+    * expression of Kernels.polygonContains (same IEEE op order), evaluated
+    * against `p.lon`/`p.lat`. */
+  def hexContains: String = {
+    val terms = (1 to 6).map { i =>
+      val xi = s"h.x$i"; val yi = s"h.y$i"; val xj = s"h.x${i - 1}"; val yj = s"h.y${i - 1}"
+      s"(CASE WHEN (($yi > p.lat) != ($yj > p.lat)) AND " +
+        s"(p.lon < ($xj - $xi) * (p.lat - $yi) / ($yj - $yi) + $xi) THEN 1 ELSE 0 END)"
+    }
+    s"(${terms.mkString(" +\n      ")}) % 2 = 1"
+  }
+
+  /** joined CTE: every (point, containing district) pair. Band membership is
+    * the ray-cast's exact half-open semantics for axis-aligned rectangles
+    * (xmin ≤ px < xmax ∧ ymin ≤ py < ymax — derived from the even-odd
+    * crossing rule; horizontal edges never cross). */
+  def joinedCte: String =
+    s"""joined AS (
+       |  SELECT p.id, p.phash, p.lon, p.lat, 'band_' || CAST(b.i AS VARCHAR) AS district
+       |  FROM pts p JOIN (SELECT unnest(generate_series(0, 11)) AS i) b
+       |    ON p.lon >= CAST(b.i AS DOUBLE) * 30.0 - 180.0 AND p.lon < CAST(b.i AS DOUBLE) * 30.0 - 150.0
+       |   AND p.lat >= -85.0 AND p.lat < 85.0
+       |  UNION ALL
+       |  SELECT p.id, p.phash, p.lon, p.lat, h.district
+       |  FROM pts p JOIN hexes h ON $hexContains)""".stripMargin
+
+  /** q20: flagship image pipeline — PIP join + tile grid + exact per-tile
+    * stats (CellIndex x/y = floor arithmetic at res 7). */
+  def q20Sql(rings: Seq[(String, Vector[Pt])]): String =
+    s"""WITH ${ptsCtes(nImagesExpr)},
+       |${hexesCte(rings)},
+       |$joinedCte
+       |SELECT district,
+       |  CAST(FLOOR((lon + 180.0) / 360.0 * 128.0) AS BIGINT) AS tile_x,
+       |  CAST(FLOOR((lat + 90.0) / 180.0 * 128.0) AS BIGINT) AS tile_y,
+       |  COUNT(*) AS n_images,
+       |  COUNT(DISTINCT phash) AS n_phashes
+       |FROM joined GROUP BY district, tile_x, tile_y""".stripMargin
+
+  /** q27: snapshot lineage rollup — batch ranges replay the lo/hi integer
+    * slicing of the resumable pipeline; buckets are res-7 tiles. */
+  def q27Sql(rings: Seq[(String, Vector[Pt])]): String =
+    s"""WITH ${ptsCtes(s"LEAST($nImagesExpr, 20000)")},
+       |${hexesCte(rings)},
+       |$joinedCte
+       |SELECT 'b' || CAST(CASE
+       |    WHEN id >= (SELECT n FROM nimg) * 3 // 4 THEN 3
+       |    WHEN id >= (SELECT n FROM nimg) * 2 // 4 THEN 2
+       |    WHEN id >= (SELECT n FROM nimg) // 4 THEN 1
+       |    ELSE 0 END AS VARCHAR) AS batch_id,
+       |  COUNT(DISTINCT CAST(FLOOR((lon + 180.0) / 360.0 * 128.0) AS BIGINT) * 128
+       |               + CAST(FLOOR((lat + 90.0) / 180.0 * 128.0) AS BIGINT)) AS n_buckets,
+       |  COUNT(*) AS "rows"
+       |FROM joined GROUP BY batch_id""".stripMargin
+
+  /** q26: image-invariant rollup — the expected (fmt, n, n_dims_ok=n)
+    * distribution from the deterministic synthesis; any decode failure on
+    * the Spark side breaks n_dims_ok and the hash compare. */
+  def q26Sql: String =
+    s"""WITH nimg AS (SELECT LEAST($nImagesExpr, 2000) AS n),
+       |ids AS (SELECT unnest(generate_series(0, (SELECT n FROM nimg) - 1)) AS id),
+       |mx AS (SELECT id, ${mix64Cols("CAST(id + 5 AS UBIGINT)", "m5")} FROM ids)
+       |SELECT CASE WHEN (m5 & 1) = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       |  COUNT(*) AS n, COUNT(*) AS n_dims_ok
+       |FROM mx GROUP BY fmt""".stripMargin
+
+  // =================================================================
+  // text kernels (q21 jaccard, q22 simhash, q23 quality)
+  // =================================================================
+
+  /** q21: brute-force exact 4-gram Jaccard ≥ minJ over hashed shingle sets
+    * (Kernels.shingleHashes + jaccardSorted). The LSH path's 100% recall at
+    * this threshold is pinned in OperatorsSpec; the size-ratio prefilter is
+    * lossless (J ≥ t ⇒ |A|/|B| ∈ [t, 1/t]). */
+  def q21Sql(minJ: Double): String = {
+    require(minJ == 0.6, "prefilter ratio hardcoded for 0.6 = 3/5")
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(t) < 4 THEN [${rollHash("t")}]
+       |       ELSE list_distinct([${roll4("t", "j")} for j in generate_series(1, len(t) - 3)])
+       |  END AS s
+       |  FROM d),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |   AND len(a.s) * 5 >= len(b.s) * 3 AND len(b.s) * 5 >= len(a.s) * 3)
+       |SELECT id_a, id_b,
+       |  CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard,
+       |  CAST(0 AS BIGINT) AS n_dropped_buckets
+       |FROM pairs
+       |WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= $minJ""".stripMargin
+  }
+
+  /** sig CTE fragment: per-doc 64-bit SimHash (Kernels.simhash64) as a
+    * UBIGINT column `s` keyed by doc_id. */
+  def simhashCtes: String =
+    s"""docs AS (SELECT doc_id, text FROM documents),
+       |toks AS (SELECT doc_id, lower(tok) AS t
+       |         FROM docs, unnest(string_split(text, ' ')) AS u(tok) WHERE len(tok) > 0),
+       |hashes AS (SELECT doc_id, ${rollHash("t")} AS h FROM toks),
+       |mixed AS (SELECT doc_id, ${mix64Cols("h", "mxh")} FROM hashes),
+       |votes AS (SELECT doc_id, b, SUM(CASE WHEN (mxh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |          FROM mixed, generate_series(0, 63) AS g(b) GROUP BY doc_id, b),
+       |sig AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END) AS s
+       |        FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** q22: brute-force SimHash pairs at Hamming ≤ k. The Spark side's
+    * pigeonhole blocking (k+1 blocks) guarantees 100% recall, so the
+    * bucketed plan and this exhaustive oracle agree exactly. */
+  def q22Sql(maxHamming: Int): String =
+    s"""WITH $simhashCtes
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming,
+       |  CAST(0 AS BIGINT) AS n_dropped_buckets
+       |FROM sig a JOIN sig b
+       |  ON a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= $maxHamming""".stripMargin
+
+  /** q23: language-ID heuristic, integer quality score, BPE-ish token count,
+    * and fp64 fingerprint (TextOps / Kernels.fp64), all replayed exactly.
+    * Token-count equivalence: each \\p{P}\\p{S} char is a singleton token
+    * under the lookaround split, and the rest split at whitespace — verified
+    * char-class parity Java↔RE2 on ASCII. */
+  def q23Sql: String = {
+    def hits(words: Seq[String]): String =
+      s"CAST(len(list_filter(lwords, w -> list_contains([${words.map("'" + _ + "'").mkString(", ")}], w))) AS DOUBLE)"
+    val en = hits(Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "sich"))
+    val fr = hits(Seq("le", "la", "les", "et", "est", "une", "pour", "que", "dans", "pas"))
+    val es = hits(Seq("el", "la", "los", "y", "es", "una", "por", "que", "con", "para"))
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+    s"""WITH d AS (SELECT doc_id, lang, text, lower(text) AS t,
+       |    substring(text, 1, 256) AS pfx FROM documents),
+       |base AS (SELECT doc_id, lang, text, t, pfx,
+       |  length(text) AS n,
+       |  length(text) - length(regexp_replace(text, '[\\p{P}]', '', 'g')) AS n_punct,
+       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+       |  length(text) - length(regexp_replace(text, '[\\p{P}\\p{S}]', '', 'g')) AS n_ps,
+       |  len(regexp_extract_all(text, '[^\\p{P}\\p{S}\\s]+')) AS n_runs,
+       |  length(regexp_replace(text, '[^\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}]', '', 'g')) AS cjk,
+       |  list_filter(regexp_split_to_array(t, '[^\\p{L}'']+'), w -> len(w) > 0) AS lwords,
+       |  list_filter(regexp_split_to_array(t, '[^a-z'']+'), w -> len(w) > 0) AS qwords
+       |  FROM d),
+       |feat AS (SELECT doc_id, lang, pfx, n, n_punct, n_digit, n_ps, n_runs, cjk, lwords,
+       |  GREATEST(CAST(len(lwords) AS DOUBLE), 1.0) AS nw,
+       |  CAST(len(qwords) AS DOUBLE) AS n_qw_d,
+       |  len(qwords) AS n_qw,
+       |  len(list_filter(qwords, w -> list_contains([${stop.map("'" + _ + "'").mkString(", ")}], w))) AS n_stop
+       |  FROM base),
+       |fp AS (SELECT doc_id, ${rollHash("pfx")} AS fpu, * EXCLUDE (doc_id) FROM feat)
+       |SELECT doc_id, lang,
+       |  CASE WHEN cjk > n / 4 THEN 'cjk'
+       |       WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en / nw > 0.02 THEN 'en'
+       |       WHEN $de >= $fr AND $de >= $es AND $de / nw > 0.02 THEN 'de'
+       |       WHEN $fr >= $es AND $fr / nw > 0.02 THEN 'fr'
+       |       WHEN $es / nw > 0.02 THEN 'es'
+       |       ELSE 'other' END AS lang_pred,
+       |  CAST(LEAST(n, 500) * 8
+       |    + CASE WHEN 200 * n_punct >= n AND 20 * n_punct <= 3 * n THEN 2500 ELSE 750 END
+       |    + CASE WHEN n_qw > 0 AND 10 * n_stop >= n_qw AND 10 * n_stop <= 7 * n_qw THEN 2500 ELSE 1000 END
+       |    + CASE WHEN 10 * n_digit < 3 * n THEN 1000 ELSE 200 END AS BIGINT) AS quality_bp,
+       |  CAST(n_ps + n_runs AS BIGINT) AS bpe_tokens,
+       |  ${toSigned("fpu")} AS fp
+       |FROM fp""".stripMargin
+  }
+
+  // =================================================================
+  // embedding kernels (q24 IVF replay, q25 banded near-dup replay)
+  // =================================================================
+
+  /** planes CTE: hyperplane component p(i,j) = toSigned(mix64(i·100003+j)) /
+    * 2^63 — Kernels.hyperplaneSig's plane derivation, exact. */
+  private def planesCte(nPlanes: Int, dim: Int): String =
+    s"""planes AS (
+       |  SELECT i, j, CAST(${toSigned("mxp")} AS DOUBLE) / 9.223372036854776e18 AS p
+       |  FROM (SELECT i, j, ${mix64Cols("CAST(i * 100003 + j AS UBIGINT)", "mxp")}
+       |        FROM (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS i),
+       |             (SELECT unnest(generate_series(0, ${dim - 1})) AS j)))""".stripMargin
+
+  /** sigs CTE over a relation `corpus(vec_id, emb DOUBLE[])`: left-fold dot
+    * products per plane (list_reduce = guaranteed sequential order, matching
+    * the Scala accumulation loop), sign bits packed into UBIGINT `bucket`. */
+  private def sigsCte(nPlanes: Int): String =
+    s"""prods AS (SELECT c.vec_id, pl.i, pl.j, c.emb[pl.j + 1] * pl.p AS prod
+       |          FROM corpus c, planes pl),
+       |accs AS (SELECT vec_id, i,
+       |    list_reduce(list_prepend(0.0, list(prod ORDER BY j)), (a, b) -> a + b) AS acc
+       |  FROM prods GROUP BY vec_id, i),
+       |sigs AS (SELECT vec_id,
+       |    SUM(CASE WHEN acc >= 0 THEN CAST(1 AS UBIGINT) << i ELSE CAST(0 AS UBIGINT) END) AS bucket
+       |  FROM accs GROUP BY vec_id)""".stripMargin
+
+  /** Integer-quantized dot product of two DOUBLE[] lists (Ann.quantizedDot,
+    * scale 1000) — order-independent exact integer sum. */
+  private def qdot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      s"x -> CAST(ROUND(x[1] * 1000) AS BIGINT) * CAST(ROUND(x[2] * 1000) AS BIGINT))) AS BIGINT)"
+
+  /** q24: full replay of the IVF-style ANN (Ann.ivfTopK, planes=4,
+    * probes=5): coarse hyperplane buckets, multi-probe = single-bit flips,
+    * in-bucket exact quantized scoring, per-query top-k. This pins the
+    * approximate algorithm itself, not just an invariant of it. */
+  def q24Sql: String =
+    s"""WITH ${planesCte(4, 64)},
+       |corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |${sigsCte(4)},
+       |c AS (SELECT s.vec_id AS id, e.emb, s.bucket FROM corpus e JOIN sigs s ON e.vec_id = s.vec_id),
+       |q AS (SELECT e.vec_id AS q_id, e.emb AS q_emb, xor(s.bucket, CAST(m AS UBIGINT)) AS bucket
+       |      FROM corpus e JOIN sigs s ON e.vec_id = s.vec_id, unnest([0, 1, 2, 4, 8]) AS u(m)
+       |      WHERE e.vec_id < 5),
+       |scored AS (SELECT q.q_id, c.id, ${qdot("c.emb", "q.q_emb")} AS score
+       |           FROM c JOIN q ON c.bucket = q.bucket AND c.id <> q.q_id)
+       |SELECT q_id, id, score, rank FROM (
+       |  SELECT q_id, id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, id) AS rank
+       |  FROM scored) WHERE rank <= 10""".stripMargin
+
+  /** q25: full replay of the banded hyperplane near-dup join
+    * (Dedup.embeddingNearDup): 64-plane signature, 4×16-bit bands,
+    * candidates share ≥1 band, verified by the exact integer predicate
+    * cos² ≥ 361/400 (= 0.95²) over quantized vectors. The corpus is
+    * augmented with deterministic near-copies (x·1.02 + 0.01) of vec_id<50
+    * so true near-duplicates exist to find. */
+  def q25Sql: String =
+    s"""WITH ${planesCte(64, 64)},
+       |base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |corpus AS (SELECT vec_id, emb FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, list_transform(emb, x -> x * 1.02 + 0.01) AS emb
+       |  FROM base WHERE vec_id < 50),
+       |${sigsCte(64)},
+       |qv AS (SELECT c.vec_id, s.bucket,
+       |    list_transform(c.emb, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
+       |  FROM corpus c JOIN sigs s ON c.vec_id = s.vec_id),
+       |qn AS (SELECT vec_id, bucket, q,
+       |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nq FROM qv),
+       |banded AS (SELECT vec_id, q, nq, b, (bucket >> (b * 16)) & 65535 AS bv
+       |           FROM qn, unnest([0, 1, 2, 3]) AS u(b)),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    a.q AS qa, b.q AS qb, a.nq AS na, b.nq AS nb
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id),
+       |scored AS (SELECT id_a, id_b,
+       |    CAST(list_sum(list_transform(list_zip(qa, qb), x -> x[1] * x[2])) AS BIGINT) AS dot_q,
+       |    na, nb FROM cand)
+       |SELECT id_a, id_b, dot_q, CAST(0 AS BIGINT) AS n_dropped_buckets FROM scored
+       |WHERE dot_q > 0 AND dot_q * dot_q * 400 >= 361 * na * nb""".stripMargin
+}

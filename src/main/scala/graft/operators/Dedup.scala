@@ -2,12 +2,21 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
-  * SimHash, n-gram Jaccard verification. All deterministic (seeded hash
-  * families via splitmix64; no RNG at runtime) and shuffle-lean:
-  * band-bucketing turns all-pairs similarity into equi-joins.
+  * SimHash, n-gram Jaccard verification, embedding near-dup. All
+  * deterministic (seeded hash families via splitmix64; no RNG at runtime)
+  * and shuffle-lean: band-bucketing turns all-pairs similarity into
+  * equi-joins.
+  *
+  * Scale guardrails (the 100-TB failure mode of LSH is the degenerate hot
+  * bucket — boilerplate or empty documents sharing a signature):
+  *  - every bucketed operator takes a `maxBucket` cap; buckets above it are
+  *    dropped BEFORE their id lists are materialized (count-first, then
+  *    collect), so a hot bucket can never OOM an executor;
+  *  - drops are never silent: the candidate output carries an
+  *    `n_dropped_buckets` metric column (0 in healthy runs — the DuckDB
+  *    oracle asserts exactly that at gate scales).
   */
 object Dedup {
 
@@ -39,29 +48,44 @@ object Dedup {
     graft.functions.st.minhashSig(text, shingleLen, perms)
 
   /** MinHash LSH candidate pairs: signatures banded `bands`×`rowsPerBand`;
-    * equal band-hash ⇒ candidate. Returns (id_a, id_b, n_bands_matched)
-    * with id_a < id_b. One shuffle on band hash; no all-pairs compare.
+    * equal band-hash ⇒ candidate. Returns (id_a, id_b, n_bands_matched,
+    * sig_frac, n_dropped_buckets) with id_a < id_b. One shuffle on band
+    * hash; no all-pairs compare.
+    *
+    * `maxBucket` bounds the per-(band,hash) bucket size: the count is
+    * aggregated first and oversized buckets are filtered before any
+    * `collect_list` runs, so a degenerate hot bucket (e.g. millions of
+    * identical boilerplate docs) costs one counted row, not an OOM. The
+    * number of dropped buckets is joined onto every output row as
+    * `n_dropped_buckets` (no silent caps).
     */
   def minhashCandidates(
       df: DataFrame, id: Column, text: Column,
       shingleLen: Int = 4, bands: Int = 8, rowsPerBand: Int = 4,
-      minBands: Int = 2, minSigFrac: Double = 0.35): DataFrame = {
+      minBands: Int = 2, minSigFrac: Double = 0.35,
+      maxBucket: Int = 4096): DataFrame = {
     // the signature frame feeds the self-join twice plus the two estimate
     // joins — cache it or the per-doc MinHash runs 4x
     val sig = df.select(id.as("id"), minhash(text, shingleLen, bands * rowsPerBand).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheTracker.register(sig)
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
         xxhash64(concat_ws(",", (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
       }: _*)).as(Seq("band", "bh")))
+    // count first: the (band,bh) histogram decides which buckets survive the
+    // cap; both aggregations shuffle on the same key, so AQE reuses the
+    // exchange and the oversized buckets never reach collect_list.
+    val counts = banded.groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
+    val dropped = counts.filter(col("__bn") > maxBucket)
+      .agg(count(lit(1)).as("n_dropped_buckets"))
     // bucket-and-pair instead of a self-join: one shuffle on (band, bh),
     // ids collected per bucket (sorted for determinism), pairs exploded
-    // in-bucket. Same output as the equi self-join, half the shuffles, and
-    // the quadratic blowup of a hot band-hash stays inside one task where
-    // it is visible/cappable rather than amplified through a join.
-    val buckets = banded.groupBy("band", "bh")
+    // in-bucket. Same output as the equi self-join, half the shuffles.
+    val buckets = banded
+      .join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bh"))
+      .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
     val pairs = buckets
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
@@ -83,6 +107,7 @@ object Dedup {
           .cast("double") / perms.toDouble)
       .filter(col("sig_frac") >= minSigFrac)
       .select("id_a", "id_b", "n_bands_matched", "sig_frac")
+      .crossJoin(broadcast(dropped))
   }
 
   /** Exact n-gram Jaccard for candidate pairs (verification pass after LSH):
@@ -110,36 +135,115 @@ object Dedup {
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates: 4 bands of 16 bits; equal band ⇒ candidate;
-    * verified by hamming ≤ maxHamming. */
-  def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 8): DataFrame = {
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxHamming`, via the
+    * pigeonhole block design: the 64 bits are split into `maxHamming + 1`
+    * contiguous blocks, so any pair within distance maxHamming must agree
+    * exactly on at least one block — candidate = equal (block, value),
+    * verified by the exact Hamming distance. 100% recall BY CONSTRUCTION
+    * (not probabilistic), unlike fixed 16-bit banding whose recall decays
+    * and whose 65k-value key space all-pairs-collides at ~10⁹ docs.
+    *
+    * Same hot-bucket cap + metric column as [[minhashCandidates]]; the id
+    * AND signature ride inside the bucket struct so verification needs no
+    * join back to the corpus. Returns (id_a, id_b, hamming,
+    * n_dropped_buckets), id_a < id_b.
+    */
+  def simhashPairs(
+      df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3, maxBucket: Int = 65536): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val blocks = maxHamming + 1
+    // widths as equal as possible; first (64 % blocks) blocks get the extra bit
+    val widths = Array.tabulate(blocks)(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val sigs = df.select(id.as("id"), simhash(text).as("sig"))
     val banded = sigs.select(col("id"), col("sig"), posexplode(
-      array((0 until 4).map(b => shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-      .as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
+      array((0 until blocks).map { b =>
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+        shiftrightunsigned(col("sig"), offsets(b)).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band", "bh")))
+    val counts = banded.groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
+    val dropped = counts.filter(col("__bn") > maxBucket)
+      .agg(count(lit(1)).as("n_dropped_buckets"))
+    val buckets = banded
+      .join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bh"))
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+          |  transform(slice(xs, i + 2, size(xs) - i - 1),
+          |            y -> struct(x.id AS id_a, x.sig AS sig_a, y.id AS id_b, y.sig AS sig_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        hamming(col("p.sig_a"), col("p.sig_b")).cast("long").as("hamming"))
       .groupBy("id_a", "id_b")
-      .agg(first(hamming(col("sig_a"), col("sig_b"))).as("hamming"))
+      .agg(first(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .crossJoin(broadcast(dropped))
   }
 
-  /** Embedding cosine near-duplicates via deterministic random-hyperplane LSH
-    * bucketing + in-bucket exact cosine ≥ threshold. */
+  /** Embedding cosine near-duplicates via BANDED deterministic
+    * random-hyperplane LSH: one `planes`-bit signature per vector, split
+    * into `bands` contiguous bands; candidate = equal (band, value);
+    * verified by exact cosine ≥ `minCosine`. Banding (vs the previous
+    * single-bucket design) is what makes recall tunable independently of
+    * bucket granularity: more bands ⇒ higher recall, wider bands ⇒ fewer
+    * random collisions — the standard LSH trade-off, with the hot-bucket
+    * cap + drop metric of the other operators. */
   def embeddingNearDup(
       df: DataFrame, id: Column, emb: Column,
-      planes: Int = 16, minCosine: Double = 0.95): DataFrame = {
+      planes: Int = 64, bands: Int = 4, minCosine: Double = 0.95,
+      maxBucket: Int = 65536): DataFrame =
+    embeddingNearDupVerified(df, id, emb, planes, bands, maxBucket,
+      "cosine", (a, b) => Ann.cosine(a, b),
+      verified => verified.filter(col("cosine") >= minCosine))
+
+  /** [[embeddingNearDup]] with the exact integer predicate
+    * cos²(a,b) ≥ cos2Num/cos2Den over scale-1000 quantized vectors —
+    * bit-identical across engines and partitionings (float cosine sums are
+    * order-stable here too, but the integer form is what the DuckDB oracle
+    * replays). Defaults encode cos ≥ 0.95 (0.95² = 361/400). Output column
+    * `dot_q` is the exact quantized dot product. */
+  def embeddingNearDupQuantized(
+      df: DataFrame, id: Column, emb: Column,
+      planes: Int = 64, bands: Int = 4,
+      cos2Num: Long = 361L, cos2Den: Long = 400L,
+      maxBucket: Int = 65536): DataFrame = {
+    val qa = (c: Column) => transform(c, x => round(x.cast("double") * 1000).cast("long"))
+    val nq = (c: Column) => aggregate(qa(c), lit(0L), (acc, v) => acc + v * v)
+    embeddingNearDupVerified(df, id, emb, planes, bands, maxBucket,
+      "dot_q", (a, b) => aggregate(zip_with(qa(a), qa(b), (x, y) => x * y), lit(0L), (acc, v) => acc + v),
+      verified => verified.filter(col("dot_q") > 0 &&
+        col("dot_q") * col("dot_q") * cos2Den >= nq(col("emb_a")) * nq(col("emb_b")) * cos2Num))
+  }
+
+  private def embeddingNearDupVerified(
+      df: DataFrame, id: Column, emb: Column,
+      planes: Int, bands: Int, maxBucket: Int,
+      scoreName: String, score: (Column, Column) => Column,
+      verify: DataFrame => DataFrame): DataFrame = {
+    require(planes % bands == 0 && planes <= 64, "planes must be ≤64 and divisible by bands")
+    val width = planes / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val sigExpr = Ann.hyperplaneSig(emb, planes)
-    val sigs = df.select(id.as("id"), emb.as("emb"), sigExpr.as("bucket"))
-    val a = sigs.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
-    val b = sigs.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
-    a.join(b, "bucket")
+    val sigs = df.select(id.as("id"), emb.as("emb"), sigExpr.as("sig"))
+    val banded = sigs.select(col("id"), col("emb"), posexplode(
+      array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*))
+      .as(Seq("band", "bv")))
+    val counts = banded.groupBy("band", "bv").agg(count(lit(1)).as("__bn"))
+    val dropped = counts.filter(col("__bn") > maxBucket)
+      .agg(count(lit(1)).as("n_dropped_buckets"))
+    val kept = banded.join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bv"))
+    val a = kept.select(col("band"), col("bv"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val b = kept.select(col("band"), col("bv"), col("id").as("id_b"), col("emb").as("emb_b"))
+    val cand = a.join(b, Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Ann.cosine(col("emb_a"), col("emb_b")))
-      .filter(col("cosine") >= minCosine)
-      .select("id_a", "id_b", "cosine")
-      .distinct()
+      .select("id_a", "id_b", "emb_a", "emb_b")
+      .groupBy("id_a", "id_b")
+      .agg(first(col("emb_a")).as("emb_a"), first(col("emb_b")).as("emb_b"))
+    verify(cand.withColumn(scoreName, score(col("emb_a"), col("emb_b"))))
+      .select(col("id_a"), col("id_b"), col(scoreName))
+      .crossJoin(broadcast(dropped))
   }
 }

@@ -56,6 +56,28 @@ object TextOps {
     round((lenScore * 0.4 + punctOk * 0.25 + stopOk * 0.25 + digitOk * 0.1), 4)
   }
 
+  /** Integer quality score in basis points [0, 10000]: the same heuristic
+    * blend as [[qualityScore]] but with every ratio test cross-multiplied
+    * into exact integer arithmetic — bit-identical across engines (the
+    * DuckDB oracle replays it; float rounding rules differ across engines,
+    * integer comparisons don't). Weights: length 40%, punctuation 25%,
+    * stopwords 25%, digits 10%.
+    */
+  def qualityScoreBp(text: Column): Column = {
+    val n = length(text)
+    val nPunct = n - length(regexp_replace(text, "[\\p{P}]", ""))
+    val nDigit = n - length(regexp_replace(text, "[0-9]", ""))
+    val words = filter(split(lower(text), "[^a-z']+"), w => length(w) > 0)
+    val nWords = size(words)
+    val stop = typedLit(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "was", "at", "by", "be", "this"))
+    val nStop = size(filter(words, w => array_contains(stop, w)))
+    (least(n, lit(500)) * 8
+      + when(nPunct * 200 >= n && nPunct * 20 <= n * 3, 2500).otherwise(750)
+      + when(nWords > 0 && nStop * 10 >= nWords && nStop * 10 <= nWords * 7, 2500).otherwise(1000)
+      + when(nDigit * 10 < n * 3, 1000).otherwise(200)).cast("long")
+  }
+
   /** Language-ID heuristic over character classes + frequent-word hits for a
     * small language set (en/de/fr/es + cjk/other by script). Deterministic,
     * codegen'd; a real model would slot in as a mapInPandas stage. */
