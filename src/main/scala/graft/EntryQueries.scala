@@ -183,8 +183,10 @@ object EntryQueries {
     val pts = t(s, dir, "customer")
       .withColumn("lon", dLon(col("c_custkey"), 7919L))
       .withColumn("lat", dLat(col("c_custkey"), 104729L))
-    val hot = SpatialOps.hotCells(
-      pts, st.cellId(col("lon"), col("lat"), 6), threshold = 4)
+    // relative threshold: only cells ≥ 8× the mean count are salted (the
+    // absolute-threshold variant degenerated to "every cell is hot" and put
+    // a multi-thousand-literal IN-set in the plan)
+    val hot = SpatialOps.hotCells(pts, st.cellId(col("lon"), col("lat"), 6))
     SpatialOps.saltedCellJoin(
         pts, st.cellId(col("lon"), col("lat"), 6), col("c_custkey"),
         rectCells, col("cell"),

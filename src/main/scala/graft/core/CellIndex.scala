@@ -143,6 +143,19 @@ object CellIndex {
     arr
   }
 
+  /** Cells with Chebyshev distance in [kLo, kHi] — the incremental shell for
+    * ring-expansion kNN. Computed as disk(kHi) \ disk(kLo−1) so it stays
+    * exact under antimeridian wrap: a naive per-ring enumeration re-emits
+    * wrapped cells whose TRUE distance is smaller than their nominal ring,
+    * which would double-count candidates across kNN passes. Sorted. */
+  def shell(cell: Long, kLo: Int, kHi: Int): Array[Long] = {
+    require(kLo <= kHi, s"shell range [$kLo, $kHi] inverted")
+    if (kLo <= 0) return disk(cell, kHi)
+    val inner = new java.util.HashSet[java.lang.Long]()
+    disk(cell, kLo - 1).foreach(inner.add(_))
+    disk(cell, kHi).filterNot(inner.contains(_))
+  }
+
   /** Covering cells of a geometry at `res`: all cells intersecting the bbox,
     * then (for polygonal geoms) filtered to cells whose box intersects the
     * geometry (cheap test: cell center inside OR any geometry vertex inside

@@ -16,6 +16,7 @@ object Kernels {
   def cellParentAt(cell: Long, toRes: Int): Long = CellIndex.parentAt(cell, toRes)
   def cellRing(cell: Long, k: Int): Array[Long] = CellIndex.ring(cell, k)
   def cellDisk(cell: Long, k: Int): Array[Long] = CellIndex.disk(cell, k)
+  def cellShell(cell: Long, kLo: Int, kHi: Int): Array[Long] = CellIndex.shell(cell, kLo, kHi)
   def cellX(cell: Long): Long = CellIndex.x(cell)
   def cellY(cell: Long): Long = CellIndex.y(cell)
   def cellCenterLon(cell: Long): Double = CellIndex.center(cell)._1

@@ -82,6 +82,22 @@ case class StCellDisk(cell: Expression, k: Expression)
   override def prettyName: String = "st_celldisk"
 }
 
+/** st_cellShell(cell, kLo, kHi) → Array[Long] — Chebyshev shell [kLo, kHi],
+  * wrap-exact (disk difference): the incremental-kNN candidate generator. */
+case class StCellShell(cell: Expression, kLo: Expression, kHi: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def first: Expression = cell
+  override def second: Expression = kLo
+  override def third: Expression = kHi
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(Kernels.cellShell(a.asInstanceOf[Long], b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(cell = f, kLo = s, kHi = t)
+  override def prettyName: String = "st_cellshell"
+}
+
 /** st_cellCover(wkb, res) → Array[Long] — covering cells (superset). */
 case class StCellCover(geom: Expression, res: Expression, maxCells: Expression)
     extends TernaryExpression with CodegenFallback {
@@ -483,6 +499,8 @@ object st {
     col(StCellRing(asL(ex(cell)), asI(ex(k))))
   def cellDisk(cell: Column, k: Column): Column =
     col(StCellDisk(asL(ex(cell)), asI(ex(k))))
+  def cellShell(cell: Column, kLo: Column, kHi: Column): Column =
+    col(StCellShell(asL(ex(cell)), asI(ex(kLo)), asI(ex(kHi))))
   def cellCover(geom: Column, res: Int, maxCells: Int = 4096): Column =
     col(StCellCover(ex(geom), Literal(res), Literal(maxCells)))
   def point(lon: Column, lat: Column): Column =
@@ -530,6 +548,7 @@ object st {
     one("st_cellparent") { e => StCellParent(asL(e(0)), asI(e(1))) }
     one("st_cellring") { e => StCellRing(asL(e(0)), asI(e(1))) }
     one("st_celldisk") { e => StCellDisk(asL(e(0)), asI(e(1))) }
+    one("st_cellshell") { e => StCellShell(asL(e(0)), asI(e(1)), asI(e(2))) }
     one("st_cellcover") { e =>
       StCellCover(e(0), asI(e(1)), if (e.length > 2) asI(e(2)) else Literal(4096))
     }

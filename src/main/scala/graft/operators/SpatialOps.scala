@@ -79,33 +79,52 @@ object SpatialOps {
     bigSalted.join(buildSalted, Seq("__cell", "__salt")).drop("__salt")
   }
 
-  /** Per-cell histogram → the cells holding more than `threshold` rows.
-    * Used to derive the explicit salt set deterministically from data. */
-  def hotCells(points: DataFrame, cell: Column, threshold: Long): Array[Long] =
-    points.groupBy(cell.as("__cell")).count()
-      .filter(col("count") > threshold)
-      .orderBy(col("__cell"))
-      .select("__cell").collect().map(_.getLong(0))
+  /** Data-derived hot-cell set for explicit salting: cells whose row count
+    * exceeds `factor` × the mean populated-cell count, capped at the `topN`
+    * heaviest. The threshold is RELATIVE (an absolute row threshold
+    * degenerates to "every populated cell is hot" as data grows — the salt
+    * set must stay a handful of genuinely skewed cells), and topN bounds
+    * both the driver-side collect and the IN-set in the salted plan; a salt
+    * set is only useful for the few cells that dominate task time anyway. */
+  def hotCells(points: DataFrame, cell: Column,
+      factor: Double = 8.0, topN: Int = 64): Array[Long] = {
+    val counts = points.groupBy(cell.as("__cell")).count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val avgRow = counts.agg(avg(col("count"))).head()
+      if (avgRow.isNullAt(0)) Array.empty
+      else counts.filter(col("count") > lit(avgRow.getDouble(0) * factor))
+        .orderBy(col("count").desc, col("__cell"))
+        .limit(topN)
+        .select("__cell").collect().map(_.getLong(0)).sorted
+    } finally { counts.unpersist(false); () }
+  }
 
   /** k nearest `points` for each row of `queries` by planar squared distance
     * (exact arithmetic → deterministic ordering; ties broken by `pointId`).
     *
-    * Ring expansion: pass i joins still-unsatisfied queries against all
-    * point-cells within Chebyshev radius r_i of the query cell
-    * (r grows geometrically), keeps each query's current top-k, and marks a
-    * query done when its kth distance is provably ≤ any point outside the
-    * searched disk (distance ≥ r · cellHeight). Queries still unsatisfied
-    * after `maxRing` fall back to a brute-force join — correctness never
-    * depends on the cutoff.
+    * Incremental ring expansion: pass i joins still-unsatisfied queries
+    * against ONLY the new Chebyshev shell (prevRadius, radius] of cells
+    * (wrap-exact via st_cellshell, so no candidate is ever seen twice) and
+    * folds the new candidates into a persisted running top-k accumulator —
+    * the points relation is never re-scanned for the inner disk. A query is
+    * done when its kth distance is provably ≤ any point outside the searched
+    * disk (distance ≥ radius · cellHeight). Queries still unsatisfied after
+    * `maxRing` fall back to a brute-force join — correctness never depends
+    * on the cutoff.
     *
-    * Each pass is a distributed cell equi-join; the number of passes is
-    * bounded (≤ log2(maxRing)+2), independent of data size.
+    * Driver actions per pass: exactly one bounded job over the cached
+    * accumulator (satisfied-id set — collected into a broadcast IN-set
+    * filter when the pending population is below `collectThreshold`,
+    * anti-joined otherwise). Each superseded accumulator is unpersisted as
+    * soon as its successor is materialized; the final one is released by the
+    * caller via [[CacheTracker.releaseAll]].
     */
   def knnJoin(
       spark: SparkSession,
       queries: DataFrame, qId: Column, qLon: Column, qLat: Column,
       points: DataFrame, pId: Column, pLon: Column, pLat: Column,
-      k: Int, res: Int, maxRing: Int = 64): DataFrame = {
+      k: Int, res: Int, maxRing: Int = 64, collectThreshold: Long = 100000L): DataFrame = {
 
     val q0 = queries.select(qId.as("q_id"), qLon.as("q_lon"), qLat.as("q_lat"))
       .withColumn("q_cell", st.cellId(col("q_lon"), col("q_lat"), res))
@@ -114,50 +133,71 @@ object SpatialOps {
 
     val cellH = 180.0 / (1L << res).toDouble
     val w = Window.partitionBy("q_id").orderBy(col("dist"), col("p_id"))
+    val accCols = Seq("q_id", "q_lon", "q_lat", "q_cell", "p_id", "dist")
 
-    def topkFor(qs: DataFrame, radius: Int): DataFrame =
-      qs.withColumn("cand_cell", explode(st.cellDisk(col("q_cell"), lit(radius))))
+    val totalQueries = q0.count()
+    var pendingCount = totalQueries
+    var pending = q0
+    var acc: Option[DataFrame] = None   // running top-k (persisted)
+    var prevRadius = 0
+    var radius = 1
+    var iter = 0
+    while (pendingCount > 0 && iter < 12 && radius <= maxRing) {
+      val shellCells =
+        if (prevRadius == 0) st.cellDisk(col("q_cell"), lit(radius))
+        else st.cellShell(col("q_cell"), lit(prevRadius + 1), lit(radius))
+      val newCands = pending.withColumn("cand_cell", explode(shellCells))
         .join(pts, col("cand_cell") === col("p_cell"))
         .withColumn("dist", st.sqDist(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat")))
+        .select(accCols.map(col): _*)
+      val merged = acc.map(_.select(accCols.map(col): _*).unionAll(newCands)).getOrElse(newCands)
+      val topk = merged
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= k)
-        .select("q_id", "q_lon", "q_lat", "q_cell", "p_id", "dist", "rn")
-
-    var pending = q0
-    var radius = 1
-    var acc: Option[DataFrame] = None
-    var iter = 0
-    while (iter < 12 && radius <= maxRing) {
-      // persisted so the stats pass and the final union share one
-      // computation; blocks are evicted LRU (caller actions hit the cache)
-      val topk = topkFor(pending, radius).persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // satisfied (monotone in radius): k results, kth inside the guaranteed disk
       val guarantee = radius.toDouble * cellH
-      // satisfied: k results and kth distance within the guaranteed disk
-      val stats = topk.groupBy("q_id")
+      val okIds = topk.groupBy("q_id")
         .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"))
-        .withColumn("ok", col("n") === k && col("kth") <= lit(guarantee * guarantee))
-      val done = topk.join(stats.filter(col("ok")).select("q_id"), "q_id")
-        .select("q_id", "p_id", "dist", "rn")
-      acc = Some(acc.map(_.unionAll(done)).getOrElse(done))
-      pending = pending.join(stats.filter(col("ok")).select("q_id"), Seq("q_id"), "left_anti")
+        .filter(col("n") === k && col("kth") <= lit(guarantee * guarantee))
+        .select("q_id")
+      val nOk =
+        if (totalQueries <= collectThreshold) {
+          // one small job; materializes topk; InSet filter (no join, no plan blowup)
+          val ids = okIds.collect().map(_.get(0)).toSeq
+          pending = if (ids.isEmpty) q0 else q0.filter(!col("q_id").isInCollection(ids))
+          ids.length.toLong
+        } else {
+          val n = okIds.count()
+          pending = if (n == 0) q0 else q0.join(okIds, Seq("q_id"), "left_anti")
+          n
+        }
+      acc.foreach(_.unpersist(false)) // superseded; topk is fully materialized
+      acc = Some(topk)
+      pendingCount = totalQueries - nOk
+      prevRadius = radius
       radius *= 2
       iter += 1
-      if (pending.isEmpty) { radius = maxRing + 1 } // exit
     }
-    // brute-force fallback for any query still pending (empty in practice)
+    acc.foreach(CacheTracker.register)
+    val found = acc.map(_.select("q_id", "p_id", "dist", "rn"))
+    // brute-force fallback for queries the ring search couldn't guarantee
+    // (e.g. fewer than k points in the world) — empty in practice
     val rest =
-      if (pending.isEmpty) None
+      if (pendingCount == 0) None
       else Some(pending.crossJoin(pts)
         .withColumn("dist", st.sqDist(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat")))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= k)
         .select("q_id", "p_id", "dist", "rn"))
-    (acc, rest) match {
-      case (Some(a), Some(r)) => a.unionAll(r)
-      case (Some(a), None)    => a
-      case (None, Some(r))    => r
-      case (None, None)       => queries.sparkSession.emptyDataFrame
+    (found, rest) match {
+      case (Some(a), Some(r)) =>
+        // a still holds rows for unguaranteed queries (partial top-k inside
+        // the searched disk) — the brute rows replace them
+        a.join(pending.select("q_id"), Seq("q_id"), "left_anti").unionAll(r)
+      case (Some(a), None) => a
+      case (None, Some(r)) => r
+      case (None, None)    => queries.sparkSession.emptyDataFrame
     }
   }
 

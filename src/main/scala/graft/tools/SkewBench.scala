@@ -60,7 +60,7 @@ object SkewBench {
         p.join(b, "cell").agg(count(lit(1))).head().getLong(0)
       }
       // (c) explicit salting in the same session (skew handling is ours)
-      val hot = SpatialOps.hotCells(p, col("cell"), threshold = n / 100)
+      val hot = SpatialOps.hotCells(p, col("cell"), factor = 8.0, topN = 64)
       println(s"""{"bench":"skew","hot_cells":${hot.length}}""")
       time("explicit_salted") {
         SpatialOps.saltedCellJoin(p, col("cell"), col("id"), b, col("cell"),

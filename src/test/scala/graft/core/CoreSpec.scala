@@ -188,6 +188,23 @@ class CellIndexSpec extends AnyFunSuite {
     assert(ring(top, 1).length == 5) // top row dropped
   }
 
+  test("shell = disk difference; shells partition the disk even under wrap") {
+    val c = encode(-179.99, 0.0, 4) // x = 0 at n = 16: radii > 8 wrap fully
+    // nominal rings re-emit wrapped cells at smaller true distance; shell
+    // must stay disjoint from the inner disk (kNN correctness depends on it)
+    val inner = disk(c, 3).toSet
+    val sh = shell(c, 4, 8)
+    assert(sh.toSet.intersect(inner).isEmpty)
+    assert((inner ++ sh.toSet) == disk(c, 8).toSet)
+    assert(shell(c, 0, 2).toList == disk(c, 2).toList)
+    // wrap saturation: at radius >= n/2 the x axis is exhausted — growing
+    // the radius further must never duplicate cells across shells
+    val all = disk(c, 12).toSet
+    val parts = Seq(shell(c, 0, 2), shell(c, 3, 5), shell(c, 6, 12))
+    assert(parts.map(_.length).sum == all.size)
+    assert(parts.flatMap(_.toList).toSet == all)
+  }
+
   test("cover superset: every vertex's cell is in the cover") {
     val poly = GPolygon(Vector(Vector(Pt(10, 10), Pt(12.3, 10), Pt(12.3, 11.7), Pt(10, 11.7), Pt(10, 10))))
     val cells = cover(poly, 10)

@@ -43,8 +43,9 @@ class SpatialOpsSpec extends AnyFunSuite {
       .withColumn("cell", st.cellId(col("dlon"), col("dlat"), 4))
     val plain = pts.join(dims.withColumnRenamed("cell", "cell2"), col("cell") === col("cell2"))
       .select("id", "dim_id").as[(Long, Long)].collect().toSet
-    val hot = SpatialOps.hotCells(pts, col("cell"), threshold = 10)
+    val hot = SpatialOps.hotCells(pts, col("cell"), factor = 1.5, topN = 16)
     assert(hot.nonEmpty, "expected some hot cells at res 4")
+    assert(hot.length <= 16)
     val salted = SpatialOps.saltedCellJoin(
         pts, col("cell"), col("id"), dims, col("cell"), hot.toSeq, saltFactor = 4)
       .select("id", "dim_id").as[(Long, Long)].collect().toSet
@@ -137,6 +138,93 @@ class DedupAnnSpec extends AnyFunSuite {
     // unrelated docs should usually be far apart
     val far = (0 until 30).count(i => java.lang.Long.bitCount(sigs(i.toLong) ^ sigs(59L - i)) > 16)
     assert(far > 15)
+  }
+
+  test("minhash LSH == brute-force jaccard >= 0.6 on the real corpus (recall pinned)") {
+    // q21's oracle is the brute-force SQL — valid only if LSH recall is 100%
+    // at the threshold; this pins that equality engine-side at gate scale.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+    val lsh = Dedup.jaccardVerify(
+        Dedup.minhashCandidates(d, col("doc_id"), col("text")),
+        d, col("doc_id"), col("text"), minJaccard = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = d.select(col("doc_id"), st.shingleHashes(col("text"), 4).as("sh"))
+    val brute = sh.toDF("id_a", "sh_a").crossJoin(sh.toDF("id_b", "sh_b"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(st.jaccardSorted(col("sh_a"), col("sh_b")) >= 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == brute, s"missing=${brute -- lsh} extra=${lsh -- brute}")
+    assert(brute.nonEmpty)
+  }
+
+  test("minhash hot-bucket cap: degenerate corpus drops buckets, reports count, no blowup") {
+    // 10k identical docs = one 10k-id bucket per band; with the cap they are
+    // counted and dropped BEFORE collect_list, so the job stays small. Two
+    // distinct near-dup docs survive to carry the metric column.
+    val boiler = spark.range(10000).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated everywhere in the corpus").as("text"))
+    val distinct = Seq(
+      (20001L, "a genuinely unique document about rivers and harbours and tides"),
+      (20002L, "a genuinely unique document about rivers and harbours and tide"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashCandidates(boiler.unionAll(distinct), col("doc_id"), col("text"),
+      maxBucket = 100)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "the distinct near-dup pair should survive")
+    assert(rows.forall(_.getAs[Long]("n_dropped_buckets") == 8L),
+      s"expected all 8 boilerplate band-buckets dropped, got ${rows.head}")
+    assert(!rows.exists(r => r.getAs[Long]("id_a") < 20000L && r.getAs[Long]("id_b") < 20000L),
+      "no boilerplate pairs should be emitted past the cap")
+  }
+
+  test("simhash pigeonhole pairs == brute-force hamming <= 3 (guaranteed recall)") {
+    val d = docs(150).cache()
+    val got = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sigs = d.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("simhash blocking is sub-quadratic: candidate volume ~ n^2/2^width per block") {
+    // 200k short random docs: all-pairs is 2e10; the 4×16-bit blocking should
+    // inspect ~4·n²/2/65536 ≈ 1.2M candidate pairs. We assert the emitted
+    // pair count stays ~6 orders below quadratic and the job completes fast.
+    val n = 200000L
+    val d = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 6).map(j => st.mix64(col("id") * 31 + j).cast("string")): _*).as("text"))
+    val pairs = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxHamming = 3).count()
+    val quadratic = n * (n - 1) / 2
+    assert(pairs < quadratic / 1000, s"pairs=$pairs not sub-quadratic (all-pairs=$quadratic)")
+  }
+
+  test("banded embedding near-dup: planted near-copies found, predicate exact vs brute") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val aug = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("emb"), x => x * 1.02 + 0.01).as("emb"))
+    val corpus = base.unionAll(aug).cache()
+    val got = Dedup.embeddingNearDupQuantized(corpus, col("vec_id"), col("emb"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute: every pair passing the exact quantized predicate (no LSH)
+    val qv = corpus.select(col("vec_id"),
+      transform(col("emb"), x => round(x * 1000).cast("long")).as("q"))
+    val brute = qv.toDF("id_a", "qa").crossJoin(qv.toDF("id_b", "qb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dq", aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .withColumn("na", aggregate(col("qa"), lit(0L), (a, v) => a + v * v))
+      .withColumn("nb", aggregate(col("qb"), lit(0L), (a, v) => a + v * v))
+      .filter(col("dq") > 0 && col("dq") * col("dq") * 400 >= col("na") * col("nb") * 361)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(brute), s"false positives: ${got -- brute}")
+    assert(got.size >= (brute.size * 9) / 10, s"recall ${got.size}/${brute.size} < 0.9")
+    assert(brute.size >= 45, s"expected ~50 planted near-dup pairs, brute found ${brute.size}")
   }
 
   test("ivf ANN recall vs brute force >= 0.4 at probes=2") {
