@@ -145,7 +145,10 @@ global.XMLSerializer = function () {
   this.serializeToString = (el) => serialize(el);
 };
 // TextDecoder exists in node. DataView/ArrayBuffer native.
-global.proj4 = undefined; // only needed for non-WGS84 prj — not exercised
+// proj4 (the reference's CRS dependency, README.md:11-13): the real bundled
+// library, so non-WGS84 .prj reprojection (LCC/Albers/UTM…) runs the exact
+// code path the reference runs in a browser.
+global.proj4 = require('/root/reference/lib/proj4.js');
 
 const fs = require('fs');
 // dist/GeoConvert.js is a STALE build (src/DXF.js has newer features:

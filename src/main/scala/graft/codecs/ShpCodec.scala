@@ -51,7 +51,10 @@ object ShpCodec {
 
   /** Q8 gate: prj absent or matching /GCS_WGS_1984|WGS84/ → identity.
     * Supported reprojections (from scratch; the reference delegates to
-    * proj4): Web-Mercator and UTM (any zone, WGS84 ellipsoid). */
+    * proj4): Web-Mercator, UTM (any zone, WGS84 ellipsoid), and — parity-
+    * exact against the reference's proj4 path — Lambert Conformal Conic and
+    * Albers Equal-Area on WGS84/GRS80-compatible datums (core.Proj.Lcc/Aea,
+    * core.PrjWkt). */
   def transformFor(prj: Option[String]): Option[Transform] = prj match {
     case None => None
     case Some(p) if "GCS_WGS_1984|WGS84".r.findFirstIn(p).isDefined &&
@@ -59,6 +62,8 @@ object ShpCodec {
     case Some(p) if graft.core.Proj.parseUtmZone(p).isDefined =>
       val (zone, north) = graft.core.Proj.parseUtmZone(p).get
       Some((x, y) => graft.core.Proj.utmToWgs84(x, y, zone, north))
+    case Some(p) if graft.core.PrjWkt.conicTransform(p).isDefined =>
+      graft.core.PrjWkt.conicTransform(p)
     case Some(p) if p.contains("3857") || p.toLowerCase.contains("mercator") =>
       Some(webMercatorToWgs84)
     case Some(p) =>

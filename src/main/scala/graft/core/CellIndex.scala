@@ -179,6 +179,12 @@ object CellIndex {
     (x1 - x0 + 1) * (y1 - y0 + 1)
   }
 
+  /** Hard ceiling on a single cover's cell count: beyond this the array
+    * size itself is the problem (a world-spanning bbox at res 28 is ~7e16
+    * cells — Int overflow + OOM). cover() coarsens under its own maxCells
+    * long before this; direct coverAt callers get a clear error instead. */
+  final val MaxCoverCells: Long = 1L << 24
+
   /** All cells at res r whose box intersects the geometry bbox. */
   def coverAt(g: Geom, r: Int): Array[Long] = {
     val (minx, miny, maxx, maxy) = g.bbox
@@ -186,7 +192,10 @@ object CellIndex {
     val n = 1L << r
     val x0 = scaleX(minx, n); val x1 = scaleX(maxx, n)
     val y0 = scaleY(miny, n); val y1 = scaleY(maxy, n)
-    val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    val cnt = (x1 - x0 + 1) * (y1 - y0 + 1)
+    require(cnt <= MaxCoverCells,
+      s"coverAt: $cnt cells at res $r exceeds $MaxCoverCells — use cover() (coarsens) or a lower res")
+    val out = new Array[Long](cnt.toInt)
     var i = 0
     var xx = x0
     while (xx <= x1) {

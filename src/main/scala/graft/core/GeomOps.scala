@@ -192,7 +192,32 @@ object GeomOps {
         cx += x * w; cy += y * w; l += w
       }
       if (l == 0) (ls.head.head.x, ls.head.head.y) else (cx / l, cy / l)
-    case GCollection(gs) if gs.nonEmpty => centroid(gs.head) // pragmatic
+    case GCollection(gs) if gs.nonEmpty =>
+      // dimension-dominant weighting: if any member has area, weight by
+      // area (zero-area members vanish); else by length; else vertex mean —
+      // matches the usual GIS convention for mixed collections instead of
+      // the old first-member shortcut
+      val areas = gs.map(area)
+      if (areas.exists(_ > 0)) {
+        var cx = 0.0; var cy = 0.0; var w = 0.0
+        gs.zip(areas).foreach { case (g, a) =>
+          if (a > 0) { val (x, y) = centroid(g); cx += x * a; cy += y * a; w += a }
+        }
+        (cx / w, cy / w)
+      } else {
+        val lens = gs.map(length)
+        if (lens.exists(_ > 0)) {
+          var cx = 0.0; var cy = 0.0; var w = 0.0
+          gs.zip(lens).foreach { case (g, l) =>
+            if (l > 0) { val (x, y) = centroid(g); cx += x * l; cy += y * l; w += l }
+          }
+          (cx / w, cy / w)
+        } else {
+          var cx = 0.0; var cy = 0.0; var n = 0
+          gs.foreach(_.foreachPt { p => cx += p.x; cy += p.y; n += 1 })
+          if (n == 0) (Double.NaN, Double.NaN) else (cx / n, cy / n)
+        }
+      }
     case _ => (Double.NaN, Double.NaN)
   }
 

@@ -75,4 +75,156 @@ object Proj {
     val re = "(?i)UTM[_ ]?Zone[_ ]?(\\d{1,2})([NS])".r
     re.findFirstMatchIn(prj).map(m => (m.group(1).toInt, m.group(2).equalsIgnoreCase("N")))
   }
+
+  // =================================================================
+  // Lambert Conformal Conic + Albers Equal-Area inverse (Snyder, USGS
+  // PP 1395: LCC eqs 15-1..15-11 + 7-9, Albers 14-1..14-11 + 3-16).
+  //
+  // Byte-parity contract: the reference reprojects any non-WGS84 .prj
+  // through its bundled proj4 (`/root/reference/src/ShapeFile.js:58-65,89`;
+  // `lib/proj4.js`), so to reproduce its GeoJSON output bit-for-bit these
+  // implementations keep proj4js's GCTP-derived numerics exactly: the same
+  // iteration counts and tolerances (phi2z: ≤16 iters @1e-10; Albers phi1z:
+  // ≤25 iters @1e-7), the same D2R/R2D decimal literals, the same
+  // floating-point operation order, and the same adjust_lon threshold
+  // (3.14159265359, not π). All formulas are public-domain Snyder math.
+  // =================================================================
+
+  private val HalfPi = Math.PI / 2
+  /** proj4's degree↔radian literals (not 180/π — parity matters). */
+  final val D2R = 0.017453292519943295
+  final val R2D = 57.29577951308232
+
+  private def adjustLon(x: Double): Double =
+    if (Math.abs(x) <= 3.14159265359) x
+    else x - (if (x < 0) -1.0 else 1.0) * (2 * Math.PI)
+
+  /** Snyder 14-15 / proj4 common/msfnz. */
+  private def msfnz(e: Double, sinphi: Double, cosphi: Double): Double = {
+    val con = e * sinphi
+    cosphi / Math.sqrt(1 - con * con)
+  }
+
+  /** Snyder 15-9 / proj4 common/tsfnz. */
+  private def tsfnz(e: Double, phi: Double, sinphi: Double): Double = {
+    var con = e * sinphi
+    val com = 0.5 * e
+    con = StrictMath.pow((1 - con) / (1 + con), com)
+    StrictMath.tan(0.5 * (HalfPi - phi)) / con
+  }
+
+  /** Snyder 7-9 iteration / proj4 common/phi2z (16 iters, 1e-10). */
+  private def phi2z(e: Double, ts: Double): Double = {
+    val eccnth = 0.5 * e
+    var phi = HalfPi - 2 * StrictMath.atan(ts)
+    var i = 0
+    while (i <= 15) {
+      val con = e * StrictMath.sin(phi)
+      val dphi = HalfPi - 2 * StrictMath.atan(ts * StrictMath.pow((1 - con) / (1 + con), eccnth)) - phi
+      phi += dphi
+      if (Math.abs(dphi) <= 1e-10) return phi
+      i += 1
+    }
+    -9999.0
+  }
+
+  /** Snyder 3-12 / proj4 common/qsfnz. */
+  private def qsfnz(ecc: Double, sinphi: Double): Double =
+    if (ecc > 1.0e-7) {
+      val con = ecc * sinphi
+      (1 - ecc * ecc) * (sinphi / (1 - con * con) - (0.5 / ecc) * StrictMath.log((1 - con) / (1 + con)))
+    } else 2 * sinphi
+
+  private def asinz(x0: Double): Double = {
+    val x = if (Math.abs(x0) > 1) (if (x0 > 1) 1.0 else -1.0) else x0
+    StrictMath.asin(x)
+  }
+
+  /** Lambert Conformal Conic (1SP/2SP) on an a/b ellipsoid; angles in
+    * radians; returns (lon, lat) radians. */
+  final case class Lcc(a: Double, b: Double, lat0: Double, lat1: Double, lat2raw: Double,
+      long0: Double, x0: Double, y0: Double, k0: Double) {
+    private val lat2 = if (lat2raw.isNaN) lat1 else lat2raw
+    require(Math.abs(lat1 + lat2) >= 1e-10, "lcc: lat1 == -lat2 is degenerate")
+    private val e = { val t = b / a; Math.sqrt(1 - t * t) }
+    private val ns = {
+      val sin1 = StrictMath.sin(lat1); val cos1 = StrictMath.cos(lat1)
+      val ms1 = msfnz(e, sin1, cos1); val ts1 = tsfnz(e, lat1, sin1)
+      val sin2 = StrictMath.sin(lat2); val cos2 = StrictMath.cos(lat2)
+      val ms2 = msfnz(e, sin2, cos2); val ts2 = tsfnz(e, lat2, sin2)
+      val n0 = if (Math.abs(lat1 - lat2) > 1e-10) StrictMath.log(ms1 / ms2) / StrictMath.log(ts1 / ts2) else sin1
+      if (n0.isNaN) sin1 else n0
+    }
+    private val f0 = {
+      val sin1 = StrictMath.sin(lat1)
+      msfnz(e, sin1, StrictMath.cos(lat1)) / (ns * StrictMath.pow(tsfnz(e, lat1, sin1), ns))
+    }
+    private val rh = a * f0 * StrictMath.pow(tsfnz(e, lat0, StrictMath.sin(lat0)), ns)
+
+    def inverse(px: Double, py: Double): (Double, Double) = {
+      val xx = (px - x0) / k0
+      val yy = rh - (py - y0) / k0
+      val (rh1, con) =
+        if (ns > 0) (Math.sqrt(xx * xx + yy * yy), 1.0)
+        else (-Math.sqrt(xx * xx + yy * yy), -1.0)
+      val theta = if (rh1 != 0) StrictMath.atan2(con * xx, con * yy) else 0.0
+      val lat =
+        if (rh1 != 0 || ns > 0) {
+          val ts = StrictMath.pow(rh1 / (a * f0), 1 / ns)
+          val p = phi2z(e, ts)
+          require(p != -9999.0, "lcc inverse: phi2z did not converge")
+          p
+        } else -HalfPi
+      (adjustLon(theta / ns + long0), lat)
+    }
+  }
+
+  /** Albers Conic Equal-Area on an a/b ellipsoid; radians in/out. */
+  final case class Aea(a: Double, b: Double, lat0: Double, lat1: Double, lat2: Double,
+      long0: Double, x0: Double, y0: Double) {
+    require(Math.abs(lat1 + lat2) >= 1e-10, "aea: lat1 == -lat2 is degenerate")
+    private val es = { val t = b / a; 1 - StrictMath.pow(t, 2) }
+    private val e3 = Math.sqrt(es)
+    private val (ns0, c, rh) = {
+      val sin1 = StrictMath.sin(lat1); val cos1 = StrictMath.cos(lat1)
+      val ms1 = msfnz(e3, sin1, cos1); val qs1 = qsfnz(e3, sin1)
+      val sin2 = StrictMath.sin(lat2); val cos2 = StrictMath.cos(lat2)
+      val ms2 = msfnz(e3, sin2, cos2); val qs2 = qsfnz(e3, sin2)
+      val qs0 = qsfnz(e3, StrictMath.sin(lat0))
+      val n = if (Math.abs(lat1 - lat2) > 1e-10) (ms1 * ms1 - ms2 * ms2) / (qs2 - qs1) else sin1
+      val cc = ms1 * ms1 + n * qs1
+      (n, cc, a * Math.sqrt(cc - n * qs0) / n)
+    }
+
+    /** Snyder 3-16 iteration (proj4 aea-local phi1z: 25 iters, 1e-7). */
+    private def phi1z(ecc: Double, qs: Double): Double = {
+      var phi = asinz(0.5 * qs)
+      if (ecc < 1e-10) return phi
+      val eccsq = ecc * ecc
+      var i = 1
+      while (i <= 25) {
+        val sinphi = StrictMath.sin(phi); val cosphi = StrictMath.cos(phi)
+        val con = ecc * sinphi
+        val com = 1 - con * con
+        val dphi = 0.5 * com * com / cosphi *
+          (qs / (1 - eccsq) - sinphi / com + 0.5 / ecc * StrictMath.log((1 - con) / (1 + con)))
+        phi += dphi
+        if (Math.abs(dphi) <= 1e-7) return phi
+        i += 1
+      }
+      throw new IllegalArgumentException("aea inverse: phi1z did not converge")
+    }
+
+    def inverse(px: Double, py: Double): (Double, Double) = {
+      val x = px - x0
+      val y = rh - py + y0
+      val (rh1, d) =
+        if (ns0 >= 0) (Math.sqrt(x * x + y * y), 1.0)
+        else (-Math.sqrt(x * x + y * y), -1.0)
+      val theta = if (rh1 != 0) StrictMath.atan2(d * x, d * y) else 0.0
+      val con = rh1 * ns0 / a
+      val lat = phi1z(e3, (c - con * con) / ns0)
+      (adjustLon(theta / ns0 + long0), lat)
+    }
+  }
 }

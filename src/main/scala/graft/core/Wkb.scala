@@ -80,12 +80,21 @@ object Wkb {
   private def get(buf: ByteBuffer): Geom = {
     val order = buf.get()
     buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-    // mask off any SRID/dimension flags (EWKB compat): low 3 decimal digits
+    // EWKB/ISO compat: strip EWKB flag bits, then fold ISO Z/M type offsets
+    // (1001, 2003, …) back to the base kind via mod-1000. Z/M ordinates are
+    // not read (the engine is 2-D everywhere) — reject them explicitly
+    // rather than mis-parse the coordinate stream.
     val rawType = buf.getInt
     val hasSrid = (rawType & 0x20000000) != 0
     if (hasSrid) buf.getInt // skip SRID
-    val t = rawType & 0xFF
-    t % 1000 match {
+    if ((rawType & 0xC0000000) != 0)
+      throw new IllegalArgumentException(
+        "wkb: EWKB Z/M geometry not supported — engine is 2-D")
+    val isoType = rawType & 0x0FFFFFFF
+    if (isoType >= 1000)
+      throw new IllegalArgumentException(
+        s"wkb: ISO Z/M geometry (type $isoType) not supported — engine is 2-D")
+    isoType match {
       case 1 => GPoint(Pt(buf.getDouble, buf.getDouble))
       case 2 => GLineString(getLine(buf))
       case 3 =>

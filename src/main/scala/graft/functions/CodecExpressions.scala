@@ -22,9 +22,17 @@ private[functions] trait Str2Str extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   def convert(s: String): String
+  // malformed input → null; genuine codec bugs (NPE, match error, stack
+  // overflow…) must propagate — a blanket catch made them indistinguishable
+  // from bad data in pipelines
   override def nullSafeEval(v: Any): Any =
     try UTF8String.fromString(convert(v.asInstanceOf[UTF8String].toString))
-    catch { case _: Exception => null }
+    catch {
+      // the codecs signal malformed input with IAE (incl. NumberFormat) and
+      // slice/index errors on truncated documents
+      case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+           _: NoSuchElementException | _: UnsupportedOperationException => null
+    }
 }
 
 case class KmlToGeojson(child: Expression) extends Str2Str {

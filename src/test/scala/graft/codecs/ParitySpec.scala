@@ -340,6 +340,65 @@ class ShpParitySpec extends AnyFunSuite {
     val dbf = ShpBuilder.dbf(Seq(("ID", 'N', 2)), Seq(Seq("1")))
     compare(shp, dbf)
   }
+
+  // ---- non-WGS84 PROJCS parity: the reference runs its REAL bundled proj4
+  // (ref_oracle.js loads /root/reference/lib/proj4.js), so these pin our
+  // from-scratch LCC/Albers inverses byte-for-byte against the live path.
+  // NAD83/GRS80 datums: no WGS84-regex short-circuit, and proj4's
+  // compare_datums makes the datum step a bitwise no-op.
+
+  private val nad83Geogcs =
+    """GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",""" +
+      """SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],""" +
+      """UNIT["Degree",0.0174532925199433]]"""
+
+  val lccPrj: String =
+    s"""PROJCS["Custom_LCC_NAD83",$nad83Geogcs,PROJECTION["Lambert_Conformal_Conic"],""" +
+      """PARAMETER["False_Easting",700000.0],PARAMETER["False_Northing",300000.0],""" +
+      """PARAMETER["Central_Meridian",-100.0],PARAMETER["Standard_Parallel_1",27.5],""" +
+      """PARAMETER["Standard_Parallel_2",35.0],PARAMETER["Latitude_Of_Origin",31.166666666666668],""" +
+      """UNIT["Meter",1.0]]"""
+
+  test("LCC (NAD83, meters) .prj reprojects byte-identically to reference proj4") {
+    val shp = shpFile(Seq(
+      point(264224.75, 787651.5),
+      poly(3, Seq(Seq((700000.0, 300000.0), (712345.25, 309876.5), (725000.125, 298765.0625)))),
+      poly(5, Seq(Seq((800000.0, 500000.0), (800000.0, 520000.0), (820000.0, 520000.0),
+        (820000.0, 500000.0), (800000.0, 500000.0)))),
+      multiPoint(Seq((650000.5, 450000.25), (900000.0, 1200000.0)))),
+      (264224.75, 298765.0625, 900000.0, 1200000.0))
+    val dbf = ShpBuilder.dbf(Seq(("ID", 'N', 3)), Seq(Seq("1"), Seq("2"), Seq("3"), Seq("4")))
+    compare(shp, dbf, Some(lccPrj))
+  }
+
+  test("LCC (US survey foot unit) .prj applies to_meter byte-identically") {
+    val footPrj = lccPrj.replace("""UNIT["Meter",1.0]""",
+      """UNIT["Foot_US",0.3048006096012192]""")
+    val shp = shpFile(Seq(
+      point(2100000.25, 900000.125),
+      poly(3, Seq(Seq((2296583.333333333, 984250.0), (2300000.0, 990000.5))))),
+      (2100000.25, 900000.125, 2300000.0, 990000.5))
+    val dbf = ShpBuilder.dbf(Seq(("ID", 'N', 3)), Seq(Seq("1"), Seq("2")))
+    compare(shp, dbf, Some(footPrj))
+  }
+
+  test("Albers (NAD83 USA Contiguous) .prj reprojects byte-identically") {
+    val albersPrj =
+      s"""PROJCS["USA_Contiguous_Albers_Equal_Area_Conic",$nad83Geogcs,PROJECTION["Albers"],""" +
+        """PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",-96.0],PARAMETER["Standard_Parallel_1",29.5],""" +
+        """PARAMETER["Standard_Parallel_2",45.5],PARAMETER["Latitude_Of_Origin",37.5],""" +
+        """UNIT["Meter",1.0]]"""
+    val shp = shpFile(Seq(
+      point(-1234567.875, 876543.0625),
+      point(0.0, 0.0),
+      poly(3, Seq(Seq((-2000000.0, -400000.0), (-1500000.0, 100000.5), (2200000.0, 1300000.25)))),
+      poly(5, Seq(Seq((100000.0, 200000.0), (100000.0, 400000.0), (350000.0, 400000.0),
+        (350000.0, 200000.0), (100000.0, 200000.0))))),
+      (-2000000.0, -400000.0, 2200000.0, 1300000.25))
+    val dbf = ShpBuilder.dbf(Seq(("ID", 'N', 3)), Seq(Seq("1"), Seq("2"), Seq("3"), Seq("4")))
+    compare(shp, dbf, Some(albersPrj))
+  }
 }
 
 class KmzSpec extends AnyFunSuite {

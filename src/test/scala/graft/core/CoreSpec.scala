@@ -230,6 +230,36 @@ class CellIndexSpec extends AnyFunSuite {
 class ProjSpec extends AnyFunSuite {
   import graft.core.Proj
 
+  test("LCC/Albers inverse at the projection origin returns (long0, lat0)") {
+    val D2R = Proj.D2R
+    val a = 6378137.0; val b = (1 - 1 / 298.257222101) * a // GRS80
+    val lcc = Proj.Lcc(a, b, 31.0 * D2R, 27.5 * D2R, 35.0 * D2R,
+      -100.0 * D2R, 700000.0, 300000.0, 1.0)
+    val (lon, lat) = lcc.inverse(700000.0, 300000.0)
+    assert(Math.abs(lon - (-100.0 * D2R)) < 1e-12 && Math.abs(lat - 31.0 * D2R) < 1e-9)
+    val aea = Proj.Aea(a, b, 37.5 * D2R, 29.5 * D2R, 45.5 * D2R, -96.0 * D2R, 0.0, 0.0)
+    val (lon2, lat2) = aea.inverse(0.0, 0.0)
+    assert(Math.abs(lon2 - (-96.0 * D2R)) < 1e-12 && Math.abs(lat2 - 37.5 * D2R) < 1e-7)
+  }
+
+  test("conic .prj parsing: params, unit factor, datum envelope") {
+    val prj = """PROJCS["X",GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",""" +
+      """SPHEROID["GRS_1980",6378137.0,298.257222101]],UNIT["Degree",0.0174532925199433]],""" +
+      """PROJECTION["Lambert_Conformal_Conic"],PARAMETER["False_Easting",2296583.333333333],""" +
+      """PARAMETER["Standard_Parallel_1",27.5],UNIT["Foot_US",0.3048006096012192]]"""
+    val p = PrjWkt.parse(prj).get
+    assert(p.projection == "Lambert_Conformal_Conic")
+    assert(p.toMeter == 0.3048006096012192) // last UNIT wins (projected unit)
+    assert(p.params("false_easting") == 2296583.333333333)
+    assert(PrjWkt.datumIsWgs84Compatible(p))
+    // Clarke 1866 (NAD27) needs a real datum shift — must be rejected loudly
+    val nad27 = prj.replace("6378137.0,298.257222101", "6378206.4,294.9786982")
+    assert(PrjWkt.parse(nad27).exists(q => !PrjWkt.datumIsWgs84Compatible(q)))
+    intercept[IllegalArgumentException](PrjWkt.conicTransform(nad27))
+    // non-conic projection: gate passes it along (None)
+    assert(PrjWkt.conicTransform(prj.replace("Lambert_Conformal_Conic", "Sinusoidal")).isEmpty)
+  }
+
   test("UTM round-trip: wgs84 -> utm -> wgs84 within 1e-8 deg") {
     val rnd = new Random(5)
     (1 to 500).foreach { _ =>
