@@ -207,65 +207,157 @@ object XmlJson {
     root
   }
 
-  /** Whole document → `{rootTag: ...}`, like xml2Json on the DOM Document. */
-  def xml2Json(xml: String): JValue = {
-    val doc = parseXmlFast(xml)
-    doc.elementChildren.toSeq.headOption match {
-      case Some(rootEl) => JObj.of(rootEl.tag -> elementToJson(rootEl))
-      case None => throw new IllegalArgumentException("xml: no document element")
-    }
-  }
-
-  def elementToJson(e: XEl): JValue = {
-    // flat ordered field list with linear lookup — elements have few keys,
-    // and skipping the per-element hash map keeps this hot path allocation-
-    // light (parses run once per row in the codec expressions)
-    val fields = new mutable.ArrayBuffer[(String, JValue)](e.attrs.length + 4)
-    e.attrs.foreach { case (k, v) => fields += (("@" + k) -> sniff(v)) }
+  /** Streaming builder frame for one open element — the fused parser
+    * converts each element to its JValue the moment its closing tag is seen,
+    * so no intermediate XEl tree is ever built (the tree build was ~40% of
+    * the KML hot path). Semantics identical to the old two-pass
+    * parseXmlFast + elementToJson (pinned by the byte-parity suite). */
+  private final class Frame(val tag: String) {
+    var fields: mutable.ArrayBuffer[(String, JValue)] = null
     var hasKids = false
     var arrayMode: mutable.ArrayBuffer[JValue] = null
     var sameName: mutable.ArrayBuffer[String] = null
-    e.children.foreach {
-      case k: XEl =>
-        hasKids = true
-        val tag = k.tag
-        if (!tag.startsWith("_")) {
-          val idx = fields.indexWhere(_._1 == tag)
-          // `if (json[children.tagName])` (`XML.js:65`) is a JS TRUTHINESS
-          // check: a falsy existing value (empty element → "", or a sniffed
-          // 0) is silently OVERWRITTEN instead of promoted to an array —
-          // reproduced (found by fuzz parity: <Placemark/> before a real
-          // Placemark makes the reference drop the empty one)
-          if (idx >= 0 && jsTruthy(fields(idx)._2)) {
-            val promoted = sameName != null && sameName.contains(tag)
-            val arr = fields(idx)._2 match {
-              case JArr(items) if promoted => JArr(items :+ elementToJson(k))
-              case other                   => JArr.of(other, elementToJson(k))
-            }
-            if (!promoted) {
-              if (sameName == null) sameName = new mutable.ArrayBuffer[String](2)
-              sameName += tag
-            }
-            fields(idx) = (tag, arr)
-          } else if (idx >= 0) {
-            fields(idx) = (tag, elementToJson(k))
-          } else {
-            fields += (tag -> elementToJson(k))
+    // leaf text: single-chunk fast path, StringBuilder only when fragmented
+    private var singleText: String = null
+    private var textBuf: java.lang.StringBuilder = null
+
+    def addText(s: String): Unit =
+      if (textBuf != null) { textBuf.append(s); () }
+      else if (singleText == null) singleText = s
+      else {
+        textBuf = new java.lang.StringBuilder(singleText.length + s.length + 16)
+        textBuf.append(singleText).append(s)
+        singleText = null
+      }
+    private def textContent: String =
+      if (textBuf != null) textBuf.toString else if (singleText != null) singleText else ""
+
+    def addAttr(name: String, value: String): Unit = {
+      if (fields == null) fields = new mutable.ArrayBuffer[(String, JValue)](4)
+      fields += (("@" + name) -> sniff(value))
+    }
+
+    /** The same-name merge of `XML.js:65-81` — see the truthiness note:
+      * a falsy existing value (empty element → "", or a sniffed 0) is
+      * silently OVERWRITTEN instead of promoted to an array (fuzz-parity
+      * pinned: <Placemark/> before a real Placemark drops the empty one). */
+    def addChild(childTag: String, value: JValue): Unit = {
+      hasKids = true
+      if (!childTag.startsWith("_")) {
+        if (fields == null) fields = new mutable.ArrayBuffer[(String, JValue)](4)
+        val idx = fields.indexWhere(_._1 == childTag)
+        if (idx >= 0 && jsTruthy(fields(idx)._2)) {
+          val promoted = sameName != null && sameName.contains(childTag)
+          val arr = fields(idx)._2 match {
+            case JArr(items) if promoted => JArr(items :+ value)
+            case other                   => JArr.of(other, value)
           }
+          if (!promoted) {
+            if (sameName == null) sameName = new mutable.ArrayBuffer[String](2)
+            sameName += childTag
+          }
+          fields(idx) = (childTag, arr)
+        } else if (idx >= 0) {
+          fields(idx) = (childTag, value)
         } else {
-          // "_"-prefixed child: parent becomes an array (`XML.js:75-81`)
-          if (arrayMode == null) arrayMode = new mutable.ArrayBuffer[JValue](4)
-          arrayMode += elementToJson(k)
+          fields += (childTag -> value)
         }
-      case _ => () // text among element children: ignored (`XML.js:59-83`)
+      } else {
+        // "_"-prefixed child: parent becomes an array (`XML.js:75-81`)
+        if (arrayMode == null) arrayMode = new mutable.ArrayBuffer[JValue](4)
+        arrayMode += value
+      }
     }
-    if (arrayMode != null) JArr(arrayMode.toVector)
-    else if (hasKids) JObj(fields.toVector)
-    else {
-      val value = sniff(e.textContent)
-      if (fields.nonEmpty) { fields += ("#" -> value); JObj(fields.toVector) }
-      else value
+
+    def finish(): JValue =
+      if (arrayMode != null) JArr(arrayMode.toVector)
+      else if (hasKids) JObj(if (fields == null) Vector.empty else fields.toVector)
+      else {
+        val value = sniff(textContent)
+        if (fields != null && fields.nonEmpty) { fields += ("#" -> value); JObj(fields.toVector) }
+        else value
+      }
+  }
+
+  /** Whole document → `{rootTag: ...}`, like xml2Json on the DOM Document.
+    * Single fused pass: scanner + JValue construction, no XEl tree. */
+  def xml2Json(str: String): JValue = {
+    var rootTag: String = null
+    var rootValue: JValue = null
+    var stack: List[Frame] = new Frame("#document") :: Nil
+    @inline def pop(): Unit = stack match {
+      case top :: (rest @ parent :: _) =>
+        val v = top.finish()
+        if (rest.tail.isEmpty) { // closing a top-level element
+          if (rootTag == null) { rootTag = top.tag; rootValue = v }
+        } else parent.addChild(top.tag, v)
+        if (rest.tail.isEmpty && rootTag == top.tag && rootValue != null) ()
+        stack = rest
+      case _ => ()
     }
+    var i = 0
+    val n = str.length
+    @inline def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    while (i < n) {
+      if (str.charAt(i) == '<') {
+        if (str.startsWith("<?", i)) { val e = str.indexOf("?>", i); i = if (e < 0) n else e + 2 }
+        else if (str.startsWith("<!--", i)) { val e = str.indexOf("-->", i); i = if (e < 0) n else e + 3 }
+        else if (str.startsWith("<![CDATA[", i)) {
+          val e = str.indexOf("]]>", i)
+          val end = if (e < 0) n else e
+          stack.head.addText(str.substring(i + 9, end))
+          i = if (e < 0) n else e + 3
+        }
+        else if (str.startsWith("<!", i)) { val e = str.indexOf('>', i); i = if (e < 0) n else e + 1 }
+        else if (str.startsWith("</", i)) {
+          val e = str.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+          if (stack.tail.nonEmpty) pop()
+        } else {
+          var j = i + 1
+          while (j < n && !isWs(str.charAt(j)) && str.charAt(j) != '/' && str.charAt(j) != '>') j += 1
+          val el = new Frame(str.substring(i + 1, j))
+          var done = false
+          while (!done && j < n) {
+            while (j < n && isWs(str.charAt(j))) j += 1
+            if (j >= n) done = true
+            else if (str.charAt(j) == '>' || (str.charAt(j) == '/' && j + 1 < n && str.charAt(j + 1) == '>')) done = true
+            else {
+              var k = j
+              while (k < n && str.charAt(k) != '=' && !isWs(str.charAt(k)) &&
+                str.charAt(k) != '/' && str.charAt(k) != '>') k += 1
+              val name = str.substring(j, k)
+              while (k < n && isWs(str.charAt(k))) k += 1
+              if (k < n && str.charAt(k) == '=') {
+                k += 1
+                while (k < n && isWs(str.charAt(k))) k += 1
+                val q = str.charAt(k); k += 1
+                val e = str.indexOf(q, k)
+                val end = if (e < 0) n else e
+                el.addAttr(name, decodeEntities(str.substring(k, end)))
+                j = end + 1
+              } else {
+                el.addAttr(name, "")
+                j = k
+              }
+            }
+          }
+          stack = el :: stack
+          if (j < n && str.charAt(j) == '/') { i = j + 2; pop() } // self-closing
+          else i = j + 1
+        }
+      } else {
+        val e = str.indexOf('<', i)
+        val end = if (e < 0) n else e
+        if (end > i) stack.head.addText(decodeEntities(str.substring(i, end)))
+        i = end
+      }
+    }
+    // unwind unclosed elements (malformed input: same tree the two-pass
+    // builder produced, since structure was fixed at open time there)
+    while (stack.tail.nonEmpty) pop()
+    if (rootTag == null) throw new IllegalArgumentException("xml: no document element")
+    JObj.of(rootTag -> rootValue)
   }
 
   // ---------- json -> xml ----------

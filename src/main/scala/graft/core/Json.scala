@@ -68,12 +68,46 @@ object Json {
   }
 
   def render(v: JValue): String = {
-    val sb = new StringBuilder
+    // hot path (every codec expression renders once per row): single
+    // java StringBuilder, strings escaped in place (no per-string builder),
+    // integral doubles appended as longs (no intermediate String)
+    val sb = new java.lang.StringBuilder(128)
+    def esc(s: String): Unit = {
+      sb.append('"')
+      var i = 0
+      val n = s.length
+      var flushed = 0
+      while (i < n) {
+        val c = s.charAt(i)
+        val rep: String =
+          if (c == '"') "\\\""
+          else if (c == '\\') "\\\\"
+          else if (c == '\n') "\\n"
+          else if (c == '\r') "\\r"
+          else if (c == '\t') "\\t"
+          else if (c == '\b') "\\b"
+          else if (c == '\f') "\\f"
+          else if (c < ' ') f"\\u${c.toInt}%04x"
+          else null
+        if (rep != null) {
+          sb.append(s, flushed, i).append(rep)
+          flushed = i + 1
+        }
+        i += 1
+      }
+      sb.append(s, flushed, n).append('"')
+    }
     def go(v: JValue): Unit = v match {
       case JNull    => sb.append("null")
       case JBool(b) => sb.append(if (b) "true" else "false")
-      case JNum(d)  => sb.append(num(d))
-      case JStr(s)  => sb.append(escape(s))
+      case JNum(d) =>
+        if (d.isNaN || d.isInfinite) sb.append("null")
+        else if (d == Math.rint(d) && Math.abs(d) < 9.007199254740992e15) sb.append(d.toLong)
+        else {
+          val s = java.lang.Double.toString(d)
+          if (s.indexOf('E') >= 0) sb.append(s.replace("E", "e")) else sb.append(s)
+        }
+      case JStr(s) => esc(s)
       case JArr(items) =>
         sb.append('[')
         var first = true
@@ -84,7 +118,7 @@ object Json {
         var first = true
         fields.foreach { case (k, it) =>
           if (!first) sb.append(','); first = false
-          sb.append(escape(k)); sb.append(':'); go(it)
+          esc(k); sb.append(':'); go(it)
         }
         sb.append('}')
     }

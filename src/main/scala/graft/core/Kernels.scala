@@ -233,113 +233,140 @@ object Kernels {
     buf.array()
   }
 
-  def wkbX(wkb: Array[Byte]): Double =
-    ByteBuffer.wrap(wkb, 5, 8).order(byteOrderOf(wkb)).getDouble
-  def wkbY(wkb: Array[Byte]): Double =
-    ByteBuffer.wrap(wkb, 13, 8).order(byteOrderOf(wkb)).getDouble
-
-  @inline private def byteOrderOf(wkb: Array[Byte]): ByteOrder =
-    if (wkb(0) == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+  def wkbX(wkb: Array[Byte]): Double = rdDouble(wkb, 5, wkb(0) != 0)
+  def wkbY(wkb: Array[Byte]): Double = rdDouble(wkb, 13, wkb(0) != 0)
 
   /** Ray-casting containment evaluated directly over WKB bytes (Polygon /
-    * MultiPolygon / GeometryCollection; other kinds → false). Zero
-    * allocation on the hot join path.
+    * MultiPolygon / GeometryCollection; other kinds → false).
+    *
+    * TRUE zero allocation: reads ints/doubles straight out of the byte
+    * array with manual endianness handling — no ByteBuffer.wrap. The
+    * previous wrap-per-call version allocated one buffer per joined row;
+    * at 10⁸⁺ rows/core that garbage is what throttles the 32-way arm of
+    * the scaling run (GC threads compete with worker threads).
+    *
+    * Cursor convention: helpers return `(nextOffset << 1) | insideBit`
+    * packed in a Long so the walk stays allocation-free.
     */
-  def containsWkb(wkb: Array[Byte], px: Double, py: Double): Boolean = {
-    val buf = ByteBuffer.wrap(wkb)
-    containsAt(buf, px, py)
+  def containsWkb(wkb: Array[Byte], px: Double, py: Double): Boolean =
+    (containsAt(wkb, 0, px, py) & 1L) == 1L
+
+  @inline private def rdInt(b: Array[Byte], off: Int, le: Boolean): Int =
+    if (le)
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) | ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    else
+      ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) | ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  @inline private def rdDouble(b: Array[Byte], off: Int, le: Boolean): Double = {
+    var bits = 0L
+    if (le) {
+      var i = 7
+      while (i >= 0) { bits = (bits << 8) | (b(off + i) & 0xFFL); i -= 1 }
+    } else {
+      var i = 0
+      while (i < 8) { bits = (bits << 8) | (b(off + i) & 0xFFL); i += 1 }
+    }
+    java.lang.Double.longBitsToDouble(bits)
   }
 
-  private def containsAt(buf: ByteBuffer, px: Double, py: Double): Boolean = {
-    val order = buf.get()
-    buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-    val rawType = buf.getInt
-    if ((rawType & 0x20000000) != 0) buf.getInt // skip SRID
+  /** One geometry at `off`; returns (nextOffset << 1) | inside. */
+  private def containsAt(b: Array[Byte], off: Int, px: Double, py: Double): Long = {
+    val le = b(off) != 0
+    val rawType = rdInt(b, off + 1, le)
+    var p = off + 5
+    if ((rawType & 0x20000000) != 0) p += 4 // skip SRID
     rawType & 0xFF match {
-      case 3 => polygonContains(buf, px, py)
+      case 3 =>
+        polygonContains(b, p, le, px, py)
       case 6 =>
-        val n = buf.getInt
-        var i = 0
+        val n = rdInt(b, p, le); p += 4
         var found = false
+        var i = 0
         while (i < n) {
-          val o2 = buf.get()
-          buf.order(if (o2 == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-          buf.getInt // inner type (3)
-          if (polygonContains(buf, px, py)) found = true
+          val le2 = b(p) != 0
+          val r = polygonContains(b, p + 5, le2, px, py) // inner type int skipped
+          p = (r >>> 1).toInt
+          if ((r & 1L) == 1L) found = true
           i += 1
         }
-        found
+        (p.toLong << 1) | (if (found) 1L else 0L)
       case 7 =>
-        val n = buf.getInt
-        var i = 0
+        val n = rdInt(b, p, le); p += 4
         var found = false
+        var i = 0
         while (i < n) {
-          if (containsAt(buf, px, py)) found = true
+          val r = containsAt(b, p, px, py)
+          p = (r >>> 1).toInt
+          if ((r & 1L) == 1L) found = true
           i += 1
         }
-        found
+        (p.toLong << 1) | (if (found) 1L else 0L)
       case 1 =>
-        val x = buf.getDouble; val y = buf.getDouble
-        x == px && y == py
+        val x = rdDouble(b, p, le); val y = rdDouble(b, p + 8, le)
+        ((p + 16).toLong << 1) | (if (x == px && y == py) 1L else 0L)
       case t =>
-        skipBody(buf, t)
-        false
+        (skipBody(b, p, le, t).toLong << 1)
     }
   }
 
-  /** Consumes one polygon body from the buffer; returns even-odd containment. */
-  private def polygonContains(buf: ByteBuffer, px: Double, py: Double): Boolean = {
-    val nRings = buf.getInt
+  /** Polygon body at `off` (ring count first); packed cursor|inside. */
+  private def polygonContains(b: Array[Byte], off: Int, le: Boolean, px: Double, py: Double): Long = {
+    val nRings = rdInt(b, off, le)
+    var p = off + 4
     var inside = false
+    var dead = false // outer miss / hole hit: result fixed, keep skipping
     var r = 0
     while (r < nRings) {
-      val n = buf.getInt
-      var inRing = false
-      if (n > 0) {
-        val x0 = buf.getDouble; val y0 = buf.getDouble
-        var xj = x0; var yj = y0
-        var i = 1
-        while (i < n) {
-          val xi = buf.getDouble; val yi = buf.getDouble
-          if (((yi > py) != (yj > py)) && (px < (xj - xi) * (py - yi) / (yj - yi) + xi)) inRing = !inRing
-          xj = xi; yj = yi
-          i += 1
+      val n = rdInt(b, p, le); p += 4
+      if (dead) p += n * 16
+      else {
+        var inRing = false
+        if (n > 0) {
+          val x0 = rdDouble(b, p, le); val y0 = rdDouble(b, p + 8, le)
+          var xj = x0; var yj = y0
+          var i = 1
+          while (i < n) {
+            val xi = rdDouble(b, p + i * 16, le); val yi = rdDouble(b, p + i * 16 + 8, le)
+            if (((yi > py) != (yj > py)) && (px < (xj - xi) * (py - yi) / (yj - yi) + xi)) inRing = !inRing
+            xj = xi; yj = yi
+            i += 1
+          }
+          // close ring against the first vertex if not explicitly closed
+          if ((xj != x0 || yj != y0) &&
+            ((y0 > py) != (yj > py)) && (px < (xj - x0) * (py - y0) / (yj - y0) + x0)) inRing = !inRing
         }
-        // close ring against the first vertex if not explicitly closed
-        if ((xj != x0 || yj != y0) &&
-          ((y0 > py) != (yj > py)) && (px < (xj - x0) * (py - y0) / (yj - y0) + x0)) inRing = !inRing
+        p += n * 16
+        if (r == 0) { if (inRing) inside = true else { inside = false; dead = true } }
+        else if (inRing) { inside = false; dead = true }
       }
-      if (r == 0) { if (!inRing) { skipRings(buf, nRings - 1); return false }; inside = true }
-      else if (inRing) { skipRings(buf, nRings - 1 - r); return false }
       r += 1
     }
-    inside
+    (p.toLong << 1) | (if (inside) 1L else 0L)
   }
 
-  private def skipRings(buf: ByteBuffer, count: Int): Unit = {
-    var r = 0
-    while (r < count) {
-      val n = buf.getInt
-      buf.position(buf.position() + n * 16)
-      r += 1
-    }
-  }
-
-  private def skipBody(buf: ByteBuffer, t: Int): Unit = t match {
-    case 1 => buf.position(buf.position() + 16)
+  /** Skip one geometry BODY (after order+type) of kind `t`; returns offset. */
+  private def skipBody(b: Array[Byte], off: Int, le: Boolean, t: Int): Int = t match {
+    case 1 => off + 16
     case 2 =>
-      val n = buf.getInt; buf.position(buf.position() + n * 16)
-    case 3 => skipRings(buf, buf.getInt)
+      val n = rdInt(b, off, le); off + 4 + n * 16
+    case 3 =>
+      val nRings = rdInt(b, off, le)
+      var p = off + 4
+      var r = 0
+      while (r < nRings) { val n = rdInt(b, p, le); p += 4 + n * 16; r += 1 }
+      p
     case 4 | 5 | 6 | 7 =>
-      val n = buf.getInt
+      val n = rdInt(b, off, le)
+      var p = off + 4
       var i = 0
       while (i < n) {
-        val o2 = buf.get()
-        buf.order(if (o2 == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-        skipBody(buf, buf.getInt & 0xFF)
+        val le2 = b(p) != 0
+        val t2 = rdInt(b, p + 1, le2) & 0xFF
+        p = skipBody(b, p + 5, le2, t2)
         i += 1
       }
-    case _ => ()
+      p
+    case _ => off
   }
 
   def wkbArea(wkb: Array[Byte]): Double = GeomOps.area(Wkb.read(wkb))

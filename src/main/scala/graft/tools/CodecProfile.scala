@@ -21,8 +21,8 @@ object CodecProfile {
       println(f"[codec] $name: ${(System.nanoTime() - t0) / 1e9 / reps}%.3f s/rep (${n / ((System.nanoTime() - t0) / 1e9 / reps)}%.0f docs/s)")
       r
     }
-    time("parse only", 3) { var s = 0L; docs.foreach { d => s += XmlJson.parseXmlFast(d).children.length }; s }
-    time("parse+tree (xml2Json)", 3) { var s = 0; docs.foreach { d => s += XmlJson.xml2Json(d).hashCode }; s }
+    time("parse only (XEl scanner)", 3) { var s = 0L; docs.foreach { d => s += XmlJson.parseXmlFast(d).children.length }; s }
+    time("fused xml2Json (string -> JValue)", 3) { var s = 0; docs.foreach { d => s += XmlJson.xml2Json(d).hashCode }; s }
     time("full kml2Geojson (no render)", 3) { var s = 0; docs.foreach { d => s += KmlCodec.kml2Geojson(d).hashCode }; s }
     time("full kml2GeojsonString", 3) { var s = 0L; docs.foreach { d => s += KmlCodec.kml2GeojsonString(d).length }; s }
     // apples-to-apples with the node bench loop (doc built inside the loop)
