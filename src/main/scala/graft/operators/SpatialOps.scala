@@ -125,13 +125,71 @@ object SpatialOps {
       queries: DataFrame, qId: Column, qLon: Column, qLat: Column,
       points: DataFrame, pId: Column, pLon: Column, pLat: Column,
       k: Int, res: Int, maxRing: Int = 64, collectThreshold: Long = 100000L): DataFrame = {
+    val cellH = 180.0 / (1L << res).toDouble
+    knnCore(queries, qId, qLon, qLat, points, pId, pLon, pLat, k, res, maxRing,
+      collectThreshold,
+      dist = st.sqDist(_, _, _, _),
+      // squared planar degrees: any point outside disk(r) is ≥ r·cellH away
+      guarantee = (radius, _) => {
+        val g = radius.toDouble * cellH
+        lit(g * g)
+      })
+  }
+
+  /** [[knnJoin]] with TRUE METERS semantics: distance is great-circle
+    * haversine and the ring-sufficiency guarantee is latitude-aware. The
+    * planar guarantee (r·cellHeight degrees) is wrong in meters at high
+    * latitude: longitude cells shrink by cos(lat), so a point r cells east
+    * can be far fewer meters away than r cells north. The meters guarantee
+    * for a query at latitude φ is
+    *
+    *   min( R · r·cellH(rad),                                — y escape
+    *        2R · asin( cos(φ*) · sin(min(π, r·cellW(rad))/2) ) )  — x escape
+    *
+    * with φ* = min(90°, |φ| + (r+1)·cellH): any point outside the disk in x
+    * but not in y lies within that latitude band, and haversine(p,q) ≥ both
+    * bounds (sin²(Δφ/2) term dropped; cosφ₁cosφ₂ ≥ cos²φ*). Once the
+    * wrapped x-range covers the full ring (2r ≥ 2^res) only the y bound
+    * applies. */
+  def knnJoinHaversine(
+      spark: SparkSession,
+      queries: DataFrame, qId: Column, qLon: Column, qLat: Column,
+      points: DataFrame, pId: Column, pLon: Column, pLat: Column,
+      k: Int, res: Int, maxRing: Int = 64, collectThreshold: Long = 100000L): DataFrame = {
+    val n = 1L << res
+    val cellHdeg = 180.0 / n.toDouble
+    val cellWdeg = 360.0 / n.toDouble
+    val R = 6371008.8 // mean earth radius — same constant as GeomOps.haversine
+    knnCore(queries, qId, qLon, qLat, points, pId, pLon, pLat, k, res, maxRing,
+      collectThreshold,
+      dist = st.haversine(_, _, _, _),
+      guarantee = (radius, qLatCol) => {
+        val yBound = lit(R * Math.toRadians(radius * cellHdeg))
+        if (2L * radius >= n) yBound
+        else {
+          val phiStar = least(lit(90.0), abs(qLatCol) + lit((radius + 1) * cellHdeg))
+          val halfLon = Math.min(Math.PI, Math.toRadians(radius * cellWdeg)) / 2.0
+          val xBound = lit(2.0 * R) *
+            asin(greatest(cos(radians(phiStar)), lit(0.0)) * lit(Math.sin(halfLon)))
+          least(yBound, xBound)
+        }
+      })
+  }
+
+  /** Shared incremental ring-expansion loop — see [[knnJoin]] for the
+    * driver-action and persistence discipline. `guarantee(radius, q_lat)`
+    * must lower-bound `dist` to ANY point outside Chebyshev disk(radius). */
+  private def knnCore(
+      queries: DataFrame, qId: Column, qLon: Column, qLat: Column,
+      points: DataFrame, pId: Column, pLon: Column, pLat: Column,
+      k: Int, res: Int, maxRing: Int, collectThreshold: Long,
+      dist: (Column, Column, Column, Column) => Column,
+      guarantee: (Int, Column) => Column): DataFrame = {
 
     val q0 = queries.select(qId.as("q_id"), qLon.as("q_lon"), qLat.as("q_lat"))
       .withColumn("q_cell", st.cellId(col("q_lon"), col("q_lat"), res))
     val pts = points.select(pId.as("p_id"), pLon.as("p_lon"), pLat.as("p_lat"))
       .withColumn("p_cell", st.cellId(col("p_lon"), col("p_lat"), res))
-
-    val cellH = 180.0 / (1L << res).toDouble
     val w = Window.partitionBy("q_id").orderBy(col("dist"), col("p_id"))
     val accCols = Seq("q_id", "q_lon", "q_lat", "q_cell", "p_id", "dist")
 
@@ -148,7 +206,7 @@ object SpatialOps {
         else st.cellShell(col("q_cell"), lit(prevRadius + 1), lit(radius))
       val newCands = pending.withColumn("cand_cell", explode(shellCells))
         .join(pts, col("cand_cell") === col("p_cell"))
-        .withColumn("dist", st.sqDist(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat")))
+        .withColumn("dist", dist(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat")))
         .select(accCols.map(col): _*)
       val merged = acc.map(_.select(accCols.map(col): _*).unionAll(newCands)).getOrElse(newCands)
       val topk = merged
@@ -156,10 +214,9 @@ object SpatialOps {
         .filter(col("rn") <= k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // satisfied (monotone in radius): k results, kth inside the guaranteed disk
-      val guarantee = radius.toDouble * cellH
       val okIds = topk.groupBy("q_id")
-        .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"))
-        .filter(col("n") === k && col("kth") <= lit(guarantee * guarantee))
+        .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"), first(col("q_lat")).as("q_lat"))
+        .filter(col("n") === k && col("kth") <= guarantee(radius, col("q_lat")))
         .select("q_id")
       val nOk =
         if (totalQueries <= collectThreshold) {
@@ -186,7 +243,7 @@ object SpatialOps {
     val rest =
       if (pendingCount == 0) None
       else Some(pending.crossJoin(pts)
-        .withColumn("dist", st.sqDist(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat")))
+        .withColumn("dist", dist(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat")))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= k)
         .select("q_id", "p_id", "dist", "rn"))

@@ -73,6 +73,29 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("knnJoinHaversine == brute haversine kNN (incl. high-latitude queries)") {
+    // at lat ~84° a longitude cell is ~10× narrower in meters than a
+    // latitude cell — the planar ring guarantee would stop too early there;
+    // the lat-aware guarantee must still reproduce brute-force exactly
+    val pts = seededPoints(2000).cache()
+    val queries = Seq(
+      (0L, 10.0, 10.0), (1L, 179.5, 84.5), (2L, -179.5, 84.6),
+      (3L, 0.0, -84.9), (4L, -30.5, 42.25), (5L, 100.0, 70.0))
+      .toDF("q_id", "q_lon", "q_lat")
+    val got = SpatialOps.knnJoinHaversine(spark, queries, col("q_id"), col("q_lon"), col("q_lat"),
+        pts, col("id"), col("lon"), col("lat"), k = 7, res = 8)
+      .select("q_id", "p_id", "rn").as[(Long, Long, Long)].collect().toSet
+    val brute = queries.crossJoin(pts)
+      .withColumn("dist", st.haversine(col("q_lon"), col("q_lat"), col("lon"), col("lat")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("dist"), col("id"))).cast("long"))
+      .filter(col("rn") <= 7)
+      .select(col("q_id"), col("id").as("p_id"), col("rn"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
   test("tileAssign output is byte-identical across parallelism (2 vs 8)") {
     def run(parts: Int): Array[Byte] = {
       val s2 = spark.newSession()
