@@ -594,7 +594,7 @@ object EntryQueries {
         .withColumn("tile", st.cellId(col("lon"), col("lat"), 7))
         .select("tile", "image_id", "district", "phash")
       sources.SnapshotTable.commitBatch(joined, table, s"b$b", "tile",
-        Seq("image_id", "district"), numPartitions = 8)
+        Seq("image_id", "district"), numPartitions = 8, zOrderRes = 7)
     }
     sources.SnapshotTable.lineage(s, table)
       .groupBy("batch_id")

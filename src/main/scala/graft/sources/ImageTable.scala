@@ -191,10 +191,14 @@ object ImageTable {
     * (no per-row JVM objects; the Dataset.map/Encoder path is allocation-
     * bound and caps multicore scaling). Bit-identical to [[metaFor]]
     * (asserted in ImageTableSpec). */
-  def metaDf(spark: SparkSession, lo: Long, hi: Long, parts: Int = 128): DataFrame = {
+  def metaDf(spark: SparkSession, lo: Long, hi: Long, parts: Int = 0): DataFrame = {
     import graft.functions.st
     val dims = array(lit(8), lit(16), lit(32), lit(64))
-    spark.range(lo, hi, 1, parts)
+    // default partitioning scales with row count (≥20k rows per task) up to
+    // 128 — a fixed 128 splits turned small-sf runs into task-launch noise
+    val p = if (parts > 0) parts
+      else Math.max(8L, Math.min(128L, (hi - lo) / 20000L + 1L)).toInt
+    spark.range(lo, hi, 1, p)
       .withColumn("image_id", format_string("img%09d", col("id")))
       .withColumn("phash", st.phashFor(col("id")))
       .withColumn("w", element_at(dims, (st.mix64(col("id") + 3).bitwiseAND(lit(3L)) + 1).cast("int")))

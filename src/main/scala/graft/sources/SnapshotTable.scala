@@ -34,8 +34,13 @@ import graft.core.{Json, JValue, JObj, JArr, JStr, JNum}
 object SnapshotTable {
 
   final case class BucketStat(bucket: Long, rows: Long, fingerprint: Long)
+  /** Iceberg-manifest-style per-file column stats: the min/max of the
+    * z-order bucket column per data file, recorded at commit so readers can
+    * skip whole files from the manifest alone (see [[readRange]]). */
+  final case class FileStat(file: String, minBucket: Long, maxBucket: Long, rows: Long)
   final case class Batch(batchId: String, files: Vector[String], rows: Long,
-      fingerprint: Long, buckets: Vector[BucketStat])
+      fingerprint: Long, buckets: Vector[BucketStat],
+      fileStats: Vector[FileStat] = Vector.empty)
   final case class Snapshot(version: Int, batches: Vector[Batch]) {
     def batchIds: Set[String] = batches.map(_.batchId).toSet
   }
@@ -67,6 +72,10 @@ object SnapshotTable {
           "buckets" -> JArr(b.buckets.map { st =>
             JObj.of("bucket" -> JNum(st.bucket), "rows" -> JNum(st.rows),
               "fingerprint" -> JStr(java.lang.Long.toHexString(st.fingerprint)))
+          }),
+          "fileStats" -> JArr(b.fileStats.map { fs =>
+            JObj.of("file" -> JStr(fs.file), "minBucket" -> JNum(fs.minBucket),
+              "maxBucket" -> JNum(fs.maxBucket), "rows" -> JNum(fs.rows))
           }))
       })).render
 
@@ -85,7 +94,13 @@ object SnapshotTable {
           val st = sv.asInstanceOf[JObj]
           BucketStat(num(st("bucket")).toLong, num(st("rows")).toLong,
             java.lang.Long.parseUnsignedLong(str(st("fingerprint")), 16))
-        })
+        },
+        // absent in pre-round-2 manifests: falls back to no file skipping
+        b.get("fileStats").map(_.asInstanceOf[JArr].items.map { fv =>
+          val fs = fv.asInstanceOf[JObj]
+          FileStat(str(fs("file")), num(fs("minBucket")).toLong,
+            num(fs("maxBucket")).toLong, num(fs("rows")).toLong)
+        }).getOrElse(Vector.empty))
     }
     Snapshot(num(o("version")).toInt, batches)
   }
@@ -96,13 +111,24 @@ object SnapshotTable {
   private def rowHash(df: DataFrame) = xxhash64(df.columns.map(col): _*)
 
   /** Commit one batch: skip if `batchId` is already in the manifest (exact
-    * resume). Data is z-order-range partitioned on `bucketCol` into
-    * `numPartitions` files and sorted within partitions by
-    * (`bucketCol`, `sortCols`) — byte-stable at any parallelism.
-    * Returns true if the batch was written, false if skipped.
+    * resume). Data is partitioned on `bucketCol` into `numPartitions` files
+    * and sorted within partitions by (`bucketCol`, `sortCols`) — byte-stable
+    * at any parallelism. Returns true if written, false if skipped.
+    *
+    * Layout: NOT repartitionByRange — its boundaries are sampled from the
+    * input layout and vary with parallelism, breaking file byte-stability.
+    * Instead:
+    *  - `zOrderRes ≥ 0` (bucket values are cell ids at that res): partition
+    *    by the high bits of the cell's morton code — a pure function of the
+    *    value that is both byte-stable AND range-clustered, so each file
+    *    covers a contiguous z-order block and the manifest's per-file
+    *    [min,max] bucket stats ([[readRange]]) actually skip files.
+    *  - otherwise: plain hash placement (byte-stable; each bucket whole in
+    *    one file; no cross-file range clustering).
     */
   def commitBatch(df: DataFrame, table: String, batchId: String,
-      bucketCol: String, sortCols: Seq[String], numPartitions: Int = 16): Boolean = {
+      bucketCol: String, sortCols: Seq[String], numPartitions: Int = 16,
+      zOrderRes: Int = -1): Boolean = {
     val snap = currentSnapshot(table)
     if (snap.batchIds.contains(batchId)) return false
 
@@ -110,19 +136,34 @@ object SnapshotTable {
     // clean leftovers from a killed writer (invisible to readers anyway)
     if (Files.exists(batchDir)) deleteRec(batchDir)
 
-    // hash repartition on the bucket, NOT repartitionByRange: range
-    // boundaries are sampled from the input and vary with its partitioning,
-    // which would break file-level byte-stability across parallelism. Hash
-    // placement is a pure function of the bucket value; each z-order bucket
-    // stays whole within one file.
-    val sorted = df
-      .repartition(numPartitions, col(bucketCol))
-      .sortWithinPartitions((bucketCol +: sortCols).map(col): _*)
-    sorted.write.mode("overwrite").parquet(batchDir.toString)
+    val dataCols = df.columns.toSeq
+    if (zOrderRes >= 0) {
+      // z-order block = high bits of the cell's morton code — a pure
+      // function of the value. partitionBy makes the block a DIRECTORY, so
+      // each data file holds exactly one contiguous morton block: per-file
+      // [min,max] stats become tight and readRange skips precisely,
+      // independent of how block ids hash across shuffle tasks.
+      val mortonBits = 2 * zOrderRes
+      val blockBits = 64 - java.lang.Integer.numberOfLeadingZeros(math.max(1, numPartitions) - 1)
+      val shiftBy = math.max(0, mortonBits - blockBits)
+      val block = shiftrightunsigned(col(bucketCol).bitwiseAND(lit(0x03FFFFFFFFFFFFFFL)), shiftBy)
+      df.withColumn("__zblock", block)
+        .repartition(numPartitions, col("__zblock"))
+        .sortWithinPartitions(col("__zblock") +: (bucketCol +: sortCols).map(col): _*)
+        .write.mode("overwrite").partitionBy("__zblock").parquet(batchDir.toString)
+    } else {
+      // generic buckets: hash placement (byte-stable; each bucket whole in
+      // one file) — no cross-file range clustering, readRange reads all
+      df.repartition(numPartitions, col(bucketCol))
+        .sortWithinPartitions((bucketCol +: sortCols).map(col): _*)
+        .write.mode("overwrite").parquet(batchDir.toString)
+    }
 
-    // lineage metrics from what was actually written
+    // lineage metrics from what was actually written (drop the inferred
+    // __zblock partition column: fingerprints cover the data columns only)
     val spark = df.sparkSession
     val written = spark.read.parquet(batchDir.toString)
+      .select(dataCols.map(col): _*)
     val stats = written
       .groupBy(col(bucketCol).as("bucket"))
       .agg(count(lit(1)).as("rows"),
@@ -131,16 +172,35 @@ object SnapshotTable {
     val bucketStats = stats.collect().map { r =>
       BucketStat(r.getLong(0), r.getLong(1), r.getLong(2))
     }.sortBy(_.bucket).toVector
+    // per-file bucket min/max (Iceberg-manifest-style column stats): lets
+    // readers skip whole files from the manifest; one aggregation over the
+    // same read-back pass family (bounded by file count)
+    // keyed by batch-relative path (NOT the leaf name: under partitionBy a
+    // task writing two blocks emits the same part-XXXX leaf in two dirs)
+    val relMarker = s"/b$batchId/"
+    val dataFileStats = written
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(bucketCol)).as("lo"), max(col(bucketCol)).as("hi"),
+        count(lit(1)).as("rows"))
+      .collect().map { r =>
+        val uri = r.getString(0)
+        val rel = uri.substring(uri.lastIndexOf(relMarker) + relMarker.length)
+        rel -> FileStat(rel, r.getLong(1), r.getLong(2), r.getLong(3))
+      }.toMap
 
-    val files = Files.list(batchDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(f => f.endsWith(".parquet"))
+    val files = Files.walk(batchDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => batchDir.relativize(p).toString)
       .toVector.sorted
+    // a listed file with no stats row holds no rows → empty [min > max]
+    // range, always skippable
+    val fileStats = files.map(f =>
+      dataFileStats.getOrElse(f, FileStat(f, 0L, -1L, 0L)))
     val totalRows = bucketStats.map(_.rows).sum
     val totalFp = bucketStats.map(_.fingerprint).foldLeft(0L)(_ ^ _)
 
     val next = Snapshot(snap.version + 1,
-      snap.batches :+ Batch(batchId, files, totalRows, totalFp, bucketStats))
+      snap.batches :+ Batch(batchId, files, totalRows, totalFp, bucketStats, fileStats))
     Files.createDirectories(snapDir(table))
     Files.writeString(snapDir(table).resolve(s"v${next.version}.json"), renderSnapshot(next))
     Files.writeString(snapDir(table).resolve("LATEST"), next.version.toString)
@@ -159,6 +219,27 @@ object SnapshotTable {
       b.files.map(f => Paths.get(table, "data", s"b${b.batchId}", f).toString))
     if (paths.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(paths: _*)
+  }
+
+  /** Manifest-level file skipping: read only the files whose recorded
+    * bucket range overlaps [lo, hi] — the planner never even lists the
+    * skipped files (coarser than, and complementary to, parquet row-group
+    * pruning). Files from pre-fileStats manifests are conservatively read.
+    * The caller still applies its exact predicate; this is a superset scan,
+    * like every manifest prune. Returns (frame, selectedFiles, totalFiles).
+    */
+  def readRange(spark: SparkSession, table: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val snap = currentSnapshot(table)
+    var total = 0
+    val paths = snap.batches.flatMap { b =>
+      val statted = b.fileStats.map(_.file).toSet
+      val keep = b.fileStats.filter(fs => fs.maxBucket >= lo && fs.minBucket <= hi).map(_.file) ++
+        b.files.filterNot(statted.contains) // no stats recorded → cannot skip
+      total += b.files.length
+      keep.map(f => Paths.get(table, "data", s"b${b.batchId}", f).toString)
+    }
+    val df = if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*)
+    (df, paths.length, total)
   }
 
   /** Lineage metrics of the current snapshot as a DataFrame. */

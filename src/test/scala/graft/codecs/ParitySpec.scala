@@ -162,6 +162,20 @@ class XmlParitySpec extends AnyFunSuite {
       assert(ours == ref, s"XML: $xml")
     }
   }
+
+  test("fused parser: malformed-input behavior pinned (open-time structure)") {
+    import graft.core.{JObj, JStr}
+    // unclosed root: unwound at EOF, structure fixed at element-open time
+    assert(XmlJson.xml2Json("""<a><b>x</b>""").render == """{"a":{"b":"x"}}""")
+    // unclosed inner element: close tags pop by position, not by name
+    assert(XmlJson.xml2Json("""<a><b><c>t</c></a>""").render == """{"a":{"b":{"c":"t"}}}""")
+    // a second top-level element is ignored (first element child wins)
+    assert(XmlJson.xml2Json("""<a>x</a><b>y</b>""").render == """{"a":"x"}""")
+    // stray close tags before any element are no-ops
+    assert(XmlJson.xml2Json("""</z><a/>""").render == """{"a":""}""")
+    // no document element at all
+    intercept[IllegalArgumentException](XmlJson.xml2Json("just text"))
+  }
 }
 
 /** Hand-written binary .shp/.dbf builders (FIXTURES.md §3). */

@@ -32,6 +32,43 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir).count() == 8000)
   }
 
+  test("manifest file skipping: readRange prunes files under z-order layout") {
+    val dir = freshDir()
+    // cell-id buckets at res 5 (the zOrderRes layout contract)
+    val df = spark.range(0, 20000, 1, 8)
+      .select(col("id"),
+        (pmod(st.mix64(col("id")), lit(360000L)).cast("double") / 1000.0 - 180.0).as("lon"),
+        (pmod(st.mix64(col("id") + 1), lit(170000L)).cast("double") / 1000.0 - 85.0).as("lat"))
+      .select(col("id"), st.cellId(col("lon"), col("lat"), 5).as("bucket"))
+    assert(SnapshotTable.commitBatch(df, dir, "b0", "bucket", Seq("id"),
+      numPartitions = 8, zOrderRes = 5))
+    val snap = SnapshotTable.currentSnapshot(dir)
+    assert(snap.batches.head.fileStats.nonEmpty)
+    // query one z-order sub-range: pruned read == full read filtered, and
+    // the manifest skipped files without opening them
+    val cells = df.select("bucket").distinct().orderBy("bucket").as[Long].collect()
+    val (lo, hi) = (cells(cells.length / 4), cells(cells.length / 3))
+    val (pruned, selected, total) = SnapshotTable.readRange(spark, dir, lo, hi)
+    val want = SnapshotTable.read(spark, dir)
+      .filter(col("bucket") >= lo && col("bucket") <= hi)
+      .select("id").as[Long].collect().sorted.toSeq
+    val got = pruned.filter(col("bucket") >= lo && col("bucket") <= hi)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == want && want.nonEmpty)
+    assert(selected < total, s"no files skipped ($selected of $total)")
+    // byte-stability across parallelism holds for the z-order layout too
+    val dir2 = freshDir()
+    SnapshotTable.commitBatch(df.repartition(3), dir2, "b0", "bucket", Seq("id"),
+      numPartitions = 8, zOrderRes = 5)
+    assert(SnapshotTable.currentSnapshot(dir).batches.head.fingerprint ==
+      SnapshotTable.currentSnapshot(dir2).batches.head.fingerprint)
+    // per-file CONTENT layout identical at any input parallelism (names
+    // carry task/UUID noise; the (range, rows) multiset is the invariant)
+    def shape(d: String) = SnapshotTable.currentSnapshot(d).batches.head.fileStats
+      .map(fs => (fs.minBucket, fs.maxBucket, fs.rows)).sorted
+    assert(shape(dir) == shape(dir2), "per-file z-order blocks must be parallelism-independent")
+  }
+
   test("exact resume: interrupted run re-converges to byte-identical table") {
     def runPipeline(dir: String, upTo: Int): Unit =
       (0 until upTo).foreach { b =>
