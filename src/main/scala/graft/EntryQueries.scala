@@ -166,8 +166,12 @@ object EntryQueries {
        |SELECT c_custkey, r_regionkey FROM pts JOIN rect
        |  ON lon > lon_min AND lon < lon_max AND lat > lat_min AND lat < lat_max""".stripMargin
 
-  /** Same join rows, produced by the salted cell equi-join (explicit skew
-    * path) — must byte-match the unsalted plan and the SQL oracle. */
+  /** Salted cell equi-join (explicit skew path) over the SKEWED synthetic
+    * image table: 30% of points sit in 3 hotspot cells, so the data-derived
+    * hot set (relative threshold: ≥ 8× mean) is exactly those cells — the
+    * salt path runs for real, not as a degenerate no-op (uniform customer
+    * points have no hot cells). Join rows must match the plain BETWEEN
+    * oracle exactly. */
   def q06PipSalted(s: SparkSession, dir: String): DataFrame = {
     ensureRegistered(s)
     val (lonMin, latMin, lonMax, latMax) = rectBounds(col("r_regionkey"))
@@ -180,22 +184,23 @@ object EntryQueries {
         col("lon_max"), lit(" "), col("lat_max"), lit(", "),
         col("lon_min"), lit(" "), col("lat_max"), lit(", "),
         col("lon_min"), lit(" "), col("lat_min"), lit("))"))), 6)))
-    val pts = t(s, dir, "customer")
-      .withColumn("lon", dLon(col("c_custkey"), 7919L))
-      .withColumn("lat", dLat(col("c_custkey"), 104729L))
-    // relative threshold: only cells ≥ 8× the mean count are salted (the
-    // absolute-threshold variant degenerated to "every cell is hot" and put
-    // a multi-thousand-literal IN-set in the plan)
+    val pts = ImageTable.metaDf(s, 0, imageCount(dir))
+      .withColumn("lon", SpatialOps.phashLon(col("phash")))
+      .withColumn("lat", SpatialOps.phashLat(col("phash")))
+      .select("image_id", "phash", "lon", "lat")
+    // relative threshold: only cells ≥ 8× the mean count are salted (an
+    // absolute threshold degenerated to "every cell is hot" and put a
+    // multi-thousand-literal IN-set in the plan)
     val hot = SpatialOps.hotCells(pts, st.cellId(col("lon"), col("lat"), 6))
     SpatialOps.saltedCellJoin(
-        pts, st.cellId(col("lon"), col("lat"), 6), col("c_custkey"),
+        pts, st.cellId(col("lon"), col("lat"), 6), col("phash"),
         rectCells, col("cell"),
         hot.toSeq, saltFactor = 4)
       .filter(col("lon") > col("lon_min") && col("lon") < col("lon_max") &&
         col("lat") > col("lat_min") && col("lat") < col("lat_max"))
-      .select("c_custkey", "r_regionkey")
+      .select("image_id", "r_regionkey")
   }
-  val q06Sql: String = q05Sql
+  def q06Sql: String = OracleSqlGen.q06Sql(sqlRect)
 
   /** kNN via distributed ring expansion; oracle is brute-force SQL. Exact
     * squared planar distance → identical ordering in both engines. */

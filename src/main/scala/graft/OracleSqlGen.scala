@@ -162,6 +162,17 @@ object OracleSqlGen {
        |  SELECT p.id, p.phash, p.lon, p.lat, h.district
        |  FROM pts p JOIN hexes h ON $hexContains)""".stripMargin
 
+  /** q06: the salted skew join over the synthetic image points vs the
+    * region rectangles — the oracle replays points + the plain BETWEEN join
+    * (salting must be row-invisible). `sqlRectCte` is EntryQueries' rect
+    * derivation (strict bounds, same literals as the Spark residual). */
+  def q06Sql(sqlRectCte: String): String =
+    s"""WITH ${ptsCtes(nImagesExpr)},
+       |rect AS ($sqlRectCte)
+       |SELECT 'img' || lpad(CAST(id AS VARCHAR), 9, '0') AS image_id, r_regionkey
+       |FROM pts JOIN rect
+       |  ON lon > lon_min AND lon < lon_max AND lat > lat_min AND lat < lat_max""".stripMargin
+
   /** q20: flagship image pipeline — PIP join + tile grid + exact per-tile
     * stats (CellIndex x/y = floor arithmetic at res 7). */
   def q20Sql(rings: Seq[(String, Vector[Pt])]): String =
