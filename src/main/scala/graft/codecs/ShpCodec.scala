@@ -51,19 +51,27 @@ object ShpCodec {
 
   /** Q8 gate: prj absent or matching /GCS_WGS_1984|WGS84/ → identity.
     * Supported reprojections (from scratch; the reference delegates to
-    * proj4): Web-Mercator, UTM (any zone, WGS84 ellipsoid), and — parity-
-    * exact against the reference's proj4 path — Lambert Conformal Conic and
-    * Albers Equal-Area on WGS84/GRS80-compatible datums (core.Proj.Lcc/Aea,
-    * core.PrjWkt). */
+    * proj4): parity-exact against the reference's proj4 path — Lambert
+    * Conformal Conic, Albers Equal-Area, and param-driven Transverse
+    * Mercator (State Plane TM / Gauss-Krüger / full ESRI UTM WKT) on
+    * WGS84/GRS80-compatible datums (core.Proj.Lcc/Aea/Tmerc, core.PrjWkt);
+    * plus zone-name UTM (Krüger, WGS84 ellipsoid — bare "UTM Zone NN"
+    * strings proj4 cannot parse) and Web-Mercator. */
   def transformFor(prj: Option[String]): Option[Transform] = prj match {
     case None => None
+    // intentional divergence from the reference's regex (documented, like
+    // the round-1 UTM carve-out): a WGS84-datum PROJCS (UTM/State Plane on
+    // GCS_WGS_1984) holds PROJECTED coordinates — identity would silently
+    // emit meters as degrees. The regex-identity applies to GEOGCS-style
+    // strings only, which is what the reference's check is FOR.
     case Some(p) if "GCS_WGS_1984|WGS84".r.findFirstIn(p).isDefined &&
-      graft.core.Proj.parseUtmZone(p).isEmpty => None
+      graft.core.Proj.parseUtmZone(p).isEmpty &&
+      graft.core.PrjWkt.parse(p).isEmpty => None
+    case Some(p) if graft.core.PrjWkt.projcsTransform(p).isDefined =>
+      graft.core.PrjWkt.projcsTransform(p)
     case Some(p) if graft.core.Proj.parseUtmZone(p).isDefined =>
       val (zone, north) = graft.core.Proj.parseUtmZone(p).get
       Some((x, y) => graft.core.Proj.utmToWgs84(x, y, zone, north))
-    case Some(p) if graft.core.PrjWkt.conicTransform(p).isDefined =>
-      graft.core.PrjWkt.conicTransform(p)
     case Some(p) if p.contains("3857") || p.toLowerCase.contains("mercator") =>
       Some(webMercatorToWgs84)
     case Some(p) =>

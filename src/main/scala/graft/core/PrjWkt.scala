@@ -56,34 +56,38 @@ object PrjWkt {
   def datumIsWgs84Compatible(p: Parsed): Boolean =
     p.a == 6378137.0 && Math.abs(es(p.a, p.rf) - wgs84Es) <= 5e-11
 
-  /** (x, y) in CRS units → (lon, lat) degrees, for the LCC/Albers families;
-    * None when the PROJECTION isn't one of them. Throws (loud, not wrong)
-    * when the datum would need a real shift. */
-  def conicTransform(prj: String): Option[(Double, Double) => (Double, Double)] =
+  /** (x, y) in CRS units → (lon, lat) degrees, for the LCC / Albers /
+    * Transverse-Mercator families; None when the PROJECTION isn't one of
+    * them. Throws (loud, not wrong) when the datum would need a real
+    * shift. */
+  def projcsTransform(prj: String): Option[(Double, Double) => (Double, Double)] =
     parse(prj).flatMap { p =>
       val name = p.projection.toLowerCase
       val isLcc = name.contains("lambert_conformal_conic") ||
         name.contains("lambert tangential conformal conic")
       val isAea = name.contains("albers")
-      if (!isLcc && !isAea) None
+      val isTm = name == "transverse_mercator" || name == "transverse mercator" ||
+        name.contains("gauss_kruger")
+      if (!isLcc && !isAea && !isTm) None
       else {
         require(datumIsWgs84Compatible(p),
           s"conic CRS needs a datum shift (a=${p.a}, rf=${p.rf}) — unsupported (reference's proj4 " +
             "would shift through geocentric; only WGS84/GRS80-compatible datums are bit-stable)")
         def deg(n: String): Option[Double] = p.params.get(n)
         val b = (1 - 1 / p.rf) * p.a
-        val lat1 = deg("standard_parallel_1").getOrElse(
-          throw new IllegalArgumentException("conic .prj missing Standard_Parallel_1")) * Proj.D2R
         val lat0 = deg("latitude_of_center").orElse(deg("latitude_of_origin"))
           .orElse(deg("standard_parallel_1")).getOrElse(0.0) * Proj.D2R
         val long0 = deg("central_meridian").orElse(deg("longitude_of_center"))
           .getOrElse(0.0) * Proj.D2R
         val x0 = deg("false_easting").getOrElse(0.0) * p.toMeter
         val y0 = deg("false_northing").getOrElse(0.0) * p.toMeter
+        val k0 = deg("scale_factor").getOrElse(1.0)
+        def lat1 = deg("standard_parallel_1").getOrElse(
+          throw new IllegalArgumentException("conic .prj missing Standard_Parallel_1")) * Proj.D2R
         val inv: (Double, Double) => (Double, Double) =
-          if (isLcc) {
+          if (isTm) Proj.Tmerc(p.a, b, lat0, long0, x0, y0, k0).inverse
+          else if (isLcc) {
             val lat2 = deg("standard_parallel_2").map(_ * Proj.D2R).getOrElse(Double.NaN)
-            val k0 = deg("scale_factor").getOrElse(1.0)
             Proj.Lcc(p.a, b, lat0, lat1, lat2, long0, x0, y0, k0).inverse
           } else {
             val lat2 = deg("standard_parallel_2").getOrElse(

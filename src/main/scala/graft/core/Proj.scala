@@ -179,6 +179,67 @@ object Proj {
     }
   }
 
+  /** Param-driven Transverse Mercator (GCTP series, as proj4's `tmerc`) on
+    * an a/b ellipsoid; radians in/out. Covers ESRI `Transverse_Mercator`
+    * PROJCS (State Plane TM zones, Gauss-Krüger, full ESRI UTM WKT) with
+    * byte parity to the reference's proj4 path — the zone-name Krüger code
+    * above remains for bare "UTM Zone NN" strings proj4 cannot parse. */
+  final case class Tmerc(a: Double, b: Double, lat0: Double,
+      long0: Double, x0: Double, y0: Double, k0: Double) {
+    private val es = { val a2 = a * a; val b2 = b * b; (a2 - b2) / a2 }
+    private val ep2 = { val a2 = a * a; val b2 = b * b; (a2 - b2) / b2 }
+    // GCTP meridional-arc coefficients (proj4 common/e0fn..e3fn, mlfn)
+    private val e0 = 1 - 0.25 * es * (1 + es / 16 * (3 + 1.25 * es))
+    private val e1 = 0.375 * es * (1 + 0.25 * es * (1 + 0.46875 * es))
+    private val e2 = 0.05859375 * es * es * (1 + 0.75 * es)
+    private val e3c = es * es * es * (35.0 / 3072.0)
+    private def mlfn(phi: Double): Double =
+      e0 * phi - e1 * StrictMath.sin(2 * phi) + e2 * StrictMath.sin(4 * phi) -
+        e3c * StrictMath.sin(6 * phi)
+    private val ml0 = a * mlfn(lat0)
+
+    def inverse(px: Double, py: Double): (Double, Double) = {
+      val x = px - x0
+      val y = py - y0
+      val con = (ml0 + y / k0) / a
+      var phi = con
+      var i = 0
+      var done = false
+      while (!done) {
+        val delta = (con + e1 * StrictMath.sin(2 * phi) - e2 * StrictMath.sin(4 * phi) +
+          e3c * StrictMath.sin(6 * phi)) / e0 - phi
+        phi += delta
+        if (Math.abs(delta) <= 1e-10) done = true
+        else {
+          require(i < 6, "tmerc inverse: latitude iteration did not converge")
+          i += 1
+        }
+      }
+      if (Math.abs(phi) < HalfPi) {
+        val sinPhi = StrictMath.sin(phi); val cosPhi = StrictMath.cos(phi)
+        val tanPhi = StrictMath.tan(phi)
+        val c = ep2 * StrictMath.pow(cosPhi, 2)
+        val cs = StrictMath.pow(c, 2)
+        val t = StrictMath.pow(tanPhi, 2)
+        val ts = StrictMath.pow(t, 2)
+        val conN = 1 - es * StrictMath.pow(sinPhi, 2)
+        val n = a / Math.sqrt(conN)
+        val r = n * (1 - es) / conN
+        val d = x / (n * k0)
+        val ds = StrictMath.pow(d, 2)
+        val lat = phi - n * tanPhi * ds / r *
+          (0.5 - ds / 24 * (5 + 3 * t + 10 * c - 4 * cs - 9 * ep2 -
+            ds / 30 * (61 + 90 * t + 298 * c + 45 * ts - 252 * ep2 - 3 * cs)))
+        val lon = adjustLon(long0 + d *
+          (1 - ds / 6 * (1 + 2 * t + c -
+            ds / 20 * (5 - 2 * c + 28 * t - 3 * cs + 8 * ep2 + 24 * ts))) / cosPhi)
+        (lon, lat)
+      } else {
+        (long0, HalfPi * (if (y < 0) -1.0 else 1.0))
+      }
+    }
+  }
+
   /** Albers Conic Equal-Area on an a/b ellipsoid; radians in/out. */
   final case class Aea(a: Double, b: Double, lat0: Double, lat1: Double, lat2: Double,
       long0: Double, x0: Double, y0: Double) {

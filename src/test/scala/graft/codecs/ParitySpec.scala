@@ -396,6 +396,22 @@ class ShpParitySpec extends AnyFunSuite {
     compare(shp, dbf, Some(footPrj))
   }
 
+  test("Transverse Mercator (NAD83 State-Plane-style) .prj reprojects byte-identically") {
+    val tmPrj =
+      s"""PROJCS["NAD_1983_StatePlane_Florida_East_FIPS_0901",$nad83Geogcs,""" +
+        """PROJECTION["Transverse_Mercator"],PARAMETER["False_Easting",200000.0],""" +
+        """PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",-81.0],""" +
+        """PARAMETER["Scale_Factor",0.9999411764705882],""" +
+        """PARAMETER["Latitude_Of_Origin",24.333333333333332],UNIT["Meter",1.0]]"""
+    val shp = shpFile(Seq(
+      point(200000.0, 0.0),
+      point(156831.625, 428301.875),
+      poly(3, Seq(Seq((120000.0, 300000.0), (250000.25, 450000.5), (299999.875, 600000.0))))),
+      (120000.0, 0.0, 299999.875, 600000.0))
+    val dbf = ShpBuilder.dbf(Seq(("ID", 'N', 3)), Seq(Seq("1"), Seq("2"), Seq("3")))
+    compare(shp, dbf, Some(tmPrj))
+  }
+
   test("Albers (NAD83 USA Contiguous) .prj reprojects byte-identically") {
     val albersPrj =
       s"""PROJCS["USA_Contiguous_Albers_Equal_Area_Conic",$nad83Geogcs,PROJECTION["Albers"],""" +

@@ -255,9 +255,9 @@ class ProjSpec extends AnyFunSuite {
     // Clarke 1866 (NAD27) needs a real datum shift — must be rejected loudly
     val nad27 = prj.replace("6378137.0,298.257222101", "6378206.4,294.9786982")
     assert(PrjWkt.parse(nad27).exists(q => !PrjWkt.datumIsWgs84Compatible(q)))
-    intercept[IllegalArgumentException](PrjWkt.conicTransform(nad27))
+    intercept[IllegalArgumentException](PrjWkt.projcsTransform(nad27))
     // non-conic projection: gate passes it along (None)
-    assert(PrjWkt.conicTransform(prj.replace("Lambert_Conformal_Conic", "Sinusoidal")).isEmpty)
+    assert(PrjWkt.projcsTransform(prj.replace("Lambert_Conformal_Conic", "Sinusoidal")).isEmpty)
   }
 
   test("UTM round-trip: wgs84 -> utm -> wgs84 within 1e-8 deg") {
