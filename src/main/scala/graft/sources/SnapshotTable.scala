@@ -160,33 +160,32 @@ object SnapshotTable {
     }
 
     // lineage metrics from what was actually written (drop the inferred
-    // __zblock partition column: fingerprints cover the data columns only)
+    // __zblock partition column: fingerprints cover the data columns only).
+    // ONE read-back aggregation keyed by (file, bucket) feeds BOTH the
+    // per-bucket lineage and the per-file [min,max] manifest stats —
+    // bounded by files × buckets rows, folded driver-side.
     val spark = df.sparkSession
     val written = spark.read.parquet(batchDir.toString)
       .select(dataCols.map(col): _*)
-    val stats = written
-      .groupBy(col(bucketCol).as("bucket"))
+    // relative path key (NOT the leaf name: under partitionBy a task
+    // writing two blocks emits the same part-XXXX leaf in two dirs)
+    val relMarker = s"/b$batchId/"
+    val fineStats = written
+      .groupBy(input_file_name().as("f"), col(bucketCol).as("bucket"))
       .agg(count(lit(1)).as("rows"),
         // XOR-fold of row hashes: associative+commutative → deterministic
         expr(s"bit_xor(${fpExpr(written)})").as("fp"))
-    val bucketStats = stats.collect().map { r =>
-      BucketStat(r.getLong(0), r.getLong(1), r.getLong(2))
-    }.sortBy(_.bucket).toVector
-    // per-file bucket min/max (Iceberg-manifest-style column stats): lets
-    // readers skip whole files from the manifest; one aggregation over the
-    // same read-back pass family (bounded by file count)
-    // keyed by batch-relative path (NOT the leaf name: under partitionBy a
-    // task writing two blocks emits the same part-XXXX leaf in two dirs)
-    val relMarker = s"/b$batchId/"
-    val dataFileStats = written
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col(bucketCol)).as("lo"), max(col(bucketCol)).as("hi"),
-        count(lit(1)).as("rows"))
       .collect().map { r =>
         val uri = r.getString(0)
-        val rel = uri.substring(uri.lastIndexOf(relMarker) + relMarker.length)
-        rel -> FileStat(rel, r.getLong(1), r.getLong(2), r.getLong(3))
-      }.toMap
+        (uri.substring(uri.lastIndexOf(relMarker) + relMarker.length),
+          r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    val bucketStats = fineStats.groupBy(_._2).map { case (bucket, xs) =>
+      BucketStat(bucket, xs.map(_._3).sum, xs.map(_._4).foldLeft(0L)(_ ^ _))
+    }.toVector.sortBy(_.bucket)
+    val dataFileStats = fineStats.groupBy(_._1).map { case (rel, xs) =>
+      rel -> FileStat(rel, xs.map(_._2).min, xs.map(_._2).max, xs.map(_._3).sum)
+    }.toMap
 
     val files = Files.walk(batchDir).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
