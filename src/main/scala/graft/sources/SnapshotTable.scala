@@ -144,7 +144,10 @@ object SnapshotTable {
       // [min,max] stats become tight and readRange skips precisely,
       // independent of how block ids hash across shuffle tasks.
       val mortonBits = 2 * zOrderRes
-      val blockBits = 64 - java.lang.Integer.numberOfLeadingZeros(math.max(1, numPartitions) - 1)
+      // ceil(log2(numPartitions)) — Integer.numberOfLeadingZeros is 32-bit
+      val blockBits =
+        if (numPartitions <= 1) 0
+        else 32 - java.lang.Integer.numberOfLeadingZeros(numPartitions - 1)
       val shiftBy = math.max(0, mortonBits - blockBits)
       val block = shiftrightunsigned(col(bucketCol).bitwiseAND(lit(0x03FFFFFFFFFFFFFFL)), shiftBy)
       df.withColumn("__zblock", block)
