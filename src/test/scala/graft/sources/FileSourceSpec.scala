@@ -111,6 +111,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming ingest -> foreachBatch -> snapshot table == batch pipeline") {
+    // the SURVEY §2.10 design claim end to end: a file-source stream runs
+    // through the same tile-assign kernel and commits each micro-batch to
+    // the snapshot table; the result table equals the one-shot batch run
+    // (same fingerprints), and a REPLAY of the stream is a no-op (resume
+    // semantics carry over to streaming ingest)
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    val images = ImageTable.metaDf(spark, 0, 4000)
+      .withColumn("lon", graft.operators.SpatialOps.phashLon(col("phash")))
+      .withColumn("lat", graft.operators.SpatialOps.phashLat(col("phash")))
+      .withColumn("tile", graft.functions.st.cellId(col("lon"), col("lat"), 7))
+      .select("tile", "image_id", "phash")
+    val inDir = Files.createTempDirectory("graft_stream_in")
+    // two source files → at least one micro-batch each under maxFilesPerTrigger
+    images.filter(col("phash") % 2 === 0).coalesce(1).write.parquet(inDir.resolve("a").toString)
+    images.filter(col("phash") % 2 =!= 0).coalesce(1).write.parquet(inDir.resolve("b").toString)
+    val schema = spark.read.parquet(inDir.resolve("a").toString).schema
+
+    def runStream(table: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString + "/*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          SnapshotTable.commitBatch(batch, table, s"stream_$id", "tile",
+            Seq("image_id"), numPartitions = 4, zOrderRes = 7)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    val streamTable = Files.createTempDirectory("graft_stream_tbl").toString
+    runStream(streamTable)
+    val batchTable = Files.createTempDirectory("graft_batch_tbl").toString
+    SnapshotTable.commitBatch(images, batchTable, "all", "tile",
+      Seq("image_id"), numPartitions = 4, zOrderRes = 7)
+    // content equality irrespective of batch split: whole-table fingerprint
+    assert(SnapshotTable.tableFingerprint(streamTable) ==
+      SnapshotTable.tableFingerprint(batchTable))
+    assert(SnapshotTable.read(spark, streamTable).count() == 4000)
+    // replaying the same stream re-offers the same batch ids → all skipped
+    val vBefore = SnapshotTable.currentVersion(streamTable)
+    runStream(streamTable)
+    assert(SnapshotTable.currentVersion(streamTable) == vBefore,
+      "replay must be an exact-resume no-op")
+  }
 }
 
 /** Batched multimodal operators (mapPartitions plumbing) + stateful
