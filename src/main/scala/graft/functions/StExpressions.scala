@@ -292,13 +292,15 @@ case class PhashFor(child: Expression) extends UnaryExpression {
 /** fp64(text, prefixLen) → rolling polynomial fingerprint (wrapping 64-bit
   * arithmetic — unaffected by ANSI overflow checking). */
 case class StringFp64(text: Expression, prefixLen: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def left: Expression = text
   override def right: Expression = prefixLen
   override def nullSafeEval(a: Any, b: Any): Any =
     Kernels.fp64(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.KernelBridge.fp64($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(text = l, prefixLen = r)
   override def prettyName: String = "fp64"
@@ -306,7 +308,7 @@ case class StringFp64(text: Expression, prefixLen: Expression)
 
 /** minhash_sig(text, shingleLen, perms) → Array[Long] — single-pass MinHash. */
 case class MinHashSig(text: Expression, shingleLen: Expression, perms: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def first: Expression = text
@@ -315,6 +317,8 @@ case class MinHashSig(text: Expression, shingleLen: Expression, perms: Expressio
   override def nullSafeEval(a: Any, b: Any, c: Any): Any =
     new GenericArrayData(Kernels.minhashSig(
       a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.KernelBridge.minhashSig($a, $b, $c)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(text = f, shingleLen = s, perms = t)
   override def prettyName: String = "minhash_sig"
@@ -322,13 +326,15 @@ case class MinHashSig(text: Expression, shingleLen: Expression, perms: Expressio
 
 /** shingle_hashes(text, n) → sorted distinct hashed n-gram set. */
 case class ShingleHashes(text: Expression, shingleLen: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def left: Expression = text
   override def right: Expression = shingleLen
   override def nullSafeEval(a: Any, b: Any): Any =
     new GenericArrayData(Kernels.shingleHashes(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Int]))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.KernelBridge.shingleHashes($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(text = l, shingleLen = r)
   override def prettyName: String = "shingle_hashes"
@@ -336,7 +342,7 @@ case class ShingleHashes(text: Expression, shingleLen: Expression)
 
 /** jaccard_sorted(a, b) → exact Jaccard of two sorted long-array sets. */
 case class JaccardSorted(a: Expression, b: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def left: Expression = a
@@ -345,6 +351,8 @@ case class JaccardSorted(a: Expression, b: Expression)
     Kernels.jaccardSorted(
       x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
       y.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.KernelBridge.jaccardSorted($x, $y)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(a = l, b = r)
   override def prettyName: String = "jaccard_sorted"
@@ -352,7 +360,7 @@ case class JaccardSorted(a: Expression, b: Expression)
 
 /** hyperplane_sig(emb, planes) → Long — single-pass LSH signature. */
 case class HyperplaneSig(emb: Expression, planes: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def left: Expression = emb
@@ -361,6 +369,9 @@ case class HyperplaneSig(emb: Expression, planes: Expression)
     val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     Kernels.hyperplaneSig(ArrConv.toDoubles(arr, emb.dataType), b.asInstanceOf[Int])
   }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.KernelBridge.hyperplaneSig($a, ${ArrConv.kindOf(emb.dataType)}, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(emb = l, planes = r)
   override def prettyName: String = "hyperplane_sig"
@@ -368,7 +379,7 @@ case class HyperplaneSig(emb: Expression, planes: Expression)
 
 /** cosine_sim(a, b) → Double — single-pass cosine over numeric arrays. */
 case class CosineSim(a: Expression, b: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def left: Expression = a
@@ -377,12 +388,23 @@ case class CosineSim(a: Expression, b: Expression)
     Kernels.cosineSim(
       ArrConv.toDoubles(x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], a.dataType),
       ArrConv.toDoubles(y.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], b.dataType))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.KernelBridge.cosineSim($x, ${ArrConv.kindOf(a.dataType)}, $y, ${ArrConv.kindOf(b.dataType)})")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(a = l, b = r)
   override def prettyName: String = "cosine_sim"
 }
 
 private object ArrConv {
+  /** Element-type tag for the codegen bridge (KernelBridge.toDoubles). */
+  def kindOf(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _)   => 0
+    case ArrayType(DoubleType, _)  => 1
+    case ArrayType(LongType, _)    => 2
+    case ArrayType(IntegerType, _) => 3
+    case other => throw new IllegalArgumentException(s"unsupported array type $other")
+  }
   def toDoubles(arr: org.apache.spark.sql.catalyst.util.ArrayData, dt: DataType): Array[Double] =
     dt match {
       case ArrayType(FloatType, _) =>
@@ -400,11 +422,13 @@ private object ArrConv {
 }
 
 /** simhash64(text) → Long — single-pass whitespace-token SimHash. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(v: Any): Any =
     Kernels.simhash64(v.asInstanceOf[UTF8String].toString)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.KernelBridge.simhash64($v)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "simhash64"
 }
