@@ -17,6 +17,18 @@ object KernelBridge {
   def minhashSig(text: UTF8String, shingleLen: Int, perms: Int): ArrayData =
     new GenericArrayData(Kernels.minhashSig(text.toString, shingleLen, perms))
 
+  def cellRing(cell: Long, k: Int): ArrayData =
+    new GenericArrayData(Kernels.cellRing(cell, k))
+
+  def cellDisk(cell: Long, k: Int): ArrayData =
+    new GenericArrayData(Kernels.cellDisk(cell, k))
+
+  def cellShell(cell: Long, kLo: Int, kHi: Int): ArrayData =
+    new GenericArrayData(Kernels.cellShell(cell, kLo, kHi))
+
+  def cellCover(wkb: Array[Byte], res: Int, maxCells: Int): ArrayData =
+    new GenericArrayData(Kernels.cellCover(wkb, res, maxCells))
+
   def shingleHashes(text: UTF8String, shingleLen: Int): ArrayData =
     new GenericArrayData(Kernels.shingleHashes(text.toString, shingleLen))
 

@@ -56,13 +56,15 @@ case class StCellParent(cell: Expression, toRes: Expression)
 
 /** st_cellRing(cell, k) → Array[Long] — Chebyshev shell at distance k. */
 case class StCellRing(cell: Expression, k: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def left: Expression = cell
   override def right: Expression = k
   override def nullSafeEval(a: Any, b: Any): Any =
     new GenericArrayData(Kernels.cellRing(a.asInstanceOf[Long], b.asInstanceOf[Int]))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.KernelBridge.cellRing($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(cell = l, k = r)
   override def prettyName: String = "st_cellring"
@@ -70,13 +72,15 @@ case class StCellRing(cell: Expression, k: Expression)
 
 /** st_cellDisk(cell, k) → Array[Long] — all cells within distance k. */
 case class StCellDisk(cell: Expression, k: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def left: Expression = cell
   override def right: Expression = k
   override def nullSafeEval(a: Any, b: Any): Any =
     new GenericArrayData(Kernels.cellDisk(a.asInstanceOf[Long], b.asInstanceOf[Int]))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.KernelBridge.cellDisk($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(cell = l, k = r)
   override def prettyName: String = "st_celldisk"
@@ -85,7 +89,7 @@ case class StCellDisk(cell: Expression, k: Expression)
 /** st_cellShell(cell, kLo, kHi) → Array[Long] — Chebyshev shell [kLo, kHi],
   * wrap-exact (disk difference): the incremental-kNN candidate generator. */
 case class StCellShell(cell: Expression, kLo: Expression, kHi: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def first: Expression = cell
@@ -93,6 +97,8 @@ case class StCellShell(cell: Expression, kLo: Expression, kHi: Expression)
   override def third: Expression = kHi
   override def nullSafeEval(a: Any, b: Any, c: Any): Any =
     new GenericArrayData(Kernels.cellShell(a.asInstanceOf[Long], b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.KernelBridge.cellShell($a, $b, $c)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(cell = f, kLo = s, kHi = t)
   override def prettyName: String = "st_cellshell"
@@ -100,7 +106,7 @@ case class StCellShell(cell: Expression, kLo: Expression, kHi: Expression)
 
 /** st_cellCover(wkb, res) → Array[Long] — covering cells (superset). */
 case class StCellCover(geom: Expression, res: Expression, maxCells: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def first: Expression = geom
@@ -108,6 +114,8 @@ case class StCellCover(geom: Expression, res: Expression, maxCells: Expression)
   override def third: Expression = maxCells
   override def nullSafeEval(a: Any, b: Any, c: Any): Any =
     new GenericArrayData(Kernels.cellCover(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.KernelBridge.cellCover($a, $b, $c)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(geom = f, res = s, maxCells = t)
   override def prettyName: String = "st_cellcover"
