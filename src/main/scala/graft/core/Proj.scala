@@ -109,7 +109,7 @@ object Proj {
   private def tsfnz(e: Double, phi: Double, sinphi: Double): Double = {
     var con = e * sinphi
     val com = 0.5 * e
-    con = StrictMath.pow((1 - con) / (1 + con), com)
+    con = PowCR.pow((1 - con) / (1 + con), com)
     StrictMath.tan(0.5 * (HalfPi - phi)) / con
   }
 
@@ -120,7 +120,7 @@ object Proj {
     var i = 0
     while (i <= 15) {
       val con = e * StrictMath.sin(phi)
-      val dphi = HalfPi - 2 * StrictMath.atan(ts * StrictMath.pow((1 - con) / (1 + con), eccnth)) - phi
+      val dphi = HalfPi - 2 * StrictMath.atan(ts * PowCR.pow((1 - con) / (1 + con), eccnth)) - phi
       phi += dphi
       if (Math.abs(dphi) <= 1e-10) return phi
       i += 1
@@ -157,9 +157,9 @@ object Proj {
     }
     private val f0 = {
       val sin1 = StrictMath.sin(lat1)
-      msfnz(e, sin1, StrictMath.cos(lat1)) / (ns * StrictMath.pow(tsfnz(e, lat1, sin1), ns))
+      msfnz(e, sin1, StrictMath.cos(lat1)) / (ns * PowCR.pow(tsfnz(e, lat1, sin1), ns))
     }
-    private val rh = a * f0 * StrictMath.pow(tsfnz(e, lat0, StrictMath.sin(lat0)), ns)
+    private val rh = a * f0 * PowCR.pow(tsfnz(e, lat0, StrictMath.sin(lat0)), ns)
 
     def inverse(px: Double, py: Double): (Double, Double) = {
       val xx = (px - x0) / k0
@@ -170,7 +170,7 @@ object Proj {
       val theta = if (rh1 != 0) StrictMath.atan2(con * xx, con * yy) else 0.0
       val lat =
         if (rh1 != 0 || ns > 0) {
-          val ts = StrictMath.pow(rh1 / (a * f0), 1 / ns)
+          val ts = PowCR.pow(rh1 / (a * f0), 1 / ns)
           val p = phi2z(e, ts)
           require(p != -9999.0, "lcc inverse: phi2z did not converge")
           p

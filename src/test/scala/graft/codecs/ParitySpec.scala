@@ -412,6 +412,87 @@ class ShpParitySpec extends AnyFunSuite {
     compare(shp, dbf, Some(tmPrj))
   }
 
+  test("fuzz: randomized LCC/Albers/TM params + coordinates, byte parity vs proj4") {
+    val rnd = new scala.util.Random(1234)
+    def d3(x: Double): Double = Math.rint(x * 1000) / 1000 // printable params
+    (1 to 12).foreach { i =>
+      val kind = i % 3
+      val cm = d3(-170 + rnd.nextDouble() * 340)
+      val lat0 = d3(-60 + rnd.nextDouble() * 120)
+      val sp1 = d3(lat0 + 2 + rnd.nextDouble() * 8)
+      val sp2 = d3(sp1 + 2 + rnd.nextDouble() * 10)
+      val fe = d3(rnd.nextDouble() * 1000000)
+      val fn = d3(rnd.nextDouble() * 1000000)
+      val prj = kind match {
+        case 0 =>
+          s"""PROJCS["Fuzz_LCC_$i",$nad83Geogcs,PROJECTION["Lambert_Conformal_Conic"],""" +
+            s"""PARAMETER["False_Easting",$fe],PARAMETER["False_Northing",$fn],""" +
+            s"""PARAMETER["Central_Meridian",$cm],PARAMETER["Standard_Parallel_1",$sp1],""" +
+            s"""PARAMETER["Standard_Parallel_2",$sp2],PARAMETER["Latitude_Of_Origin",$lat0],""" +
+            s"""UNIT["Meter",1.0]]"""
+        case 1 =>
+          s"""PROJCS["Fuzz_Albers_$i",$nad83Geogcs,PROJECTION["Albers"],""" +
+            s"""PARAMETER["False_Easting",$fe],PARAMETER["False_Northing",$fn],""" +
+            s"""PARAMETER["Central_Meridian",$cm],PARAMETER["Standard_Parallel_1",$sp1],""" +
+            s"""PARAMETER["Standard_Parallel_2",$sp2],PARAMETER["Latitude_Of_Origin",$lat0],""" +
+            s"""UNIT["Meter",1.0]]"""
+        case _ =>
+          val k0 = 0.9996 + rnd.nextDouble() * 0.0004
+          s"""PROJCS["Fuzz_TM_$i",$nad83Geogcs,PROJECTION["Transverse_Mercator"],""" +
+            s"""PARAMETER["False_Easting",$fe],PARAMETER["False_Northing",$fn],""" +
+            s"""PARAMETER["Central_Meridian",$cm],PARAMETER["Scale_Factor",$k0],""" +
+            s"""PARAMETER["Latitude_Of_Origin",$lat0],UNIT["Meter",1.0]]"""
+      }
+      // projected coordinates in a plausible envelope around the origin
+      val pts = (0 until 25).map { _ =>
+        (fe + (rnd.nextDouble() - 0.5) * 600000,
+          fn + rnd.nextDouble() * 800000)
+      }
+      val shp = shpFile(
+        pts.map { case (x, y) => point(x, y) } :+
+          poly(3, Seq(pts.take(5))),
+        (pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max))
+      val dbf = ShpBuilder.dbf(Seq(("ID", 'N', 3)), (0 to 25).map(j => Seq(j.toString)))
+      try {
+        // Albers/TM use no general-exponent pow → byte-exact always. LCC's
+        // t^ns goes through PowCR (correctly rounded); node's Math.pow is
+        // glibc's nearly-CR pow (documented ≤0.52 ulp, measured 0.08% of
+        // calls off-by-one vs CR), so on its sub-CR inputs the reference
+        // itself is the one a ulp off; the phi2z fixed-point iteration
+        // amplifies that to a few ulps of latitude. Tolerate ≤8 ulps on ≤2
+        // coords per LCC config, byte-exact otherwise.
+        if (kind == 0) compareUlp(shp, dbf, prj, maxUlpDiffs = 2)
+        else compare(shp, dbf, Some(prj))
+      } catch {
+        case e: Throwable =>
+          throw new AssertionError(s"fuzz config $i kind=$kind cm=$cm lat0=$lat0 sp1=$sp1 sp2=$sp2 fe=$fe fn=$fn pt0=${pts.head}: ${e.getMessage.take(300)}", e)
+      }
+    }
+  }
+
+  private def compareUlp(shp: Array[Byte], dbf: Array[Byte], prj: String, maxUlpDiffs: Int): Unit = {
+    val ours = ShpCodec.shapefile2GeojsonString(ShpCodec.ShapeInput(shp, dbf, Some(prj)))
+    val ref = RefOracle.call("shp2geojson",
+      "shpB64" -> JStr(b64(shp)), "dbfB64" -> JStr(b64(dbf)), "prj" -> JStr(prj))
+    if (ours == ref) return
+    val numRe = """-?[0-9]+(?:\.[0-9]+)?(?:[eE][-+]?[0-9]+)?""".r
+    assert(numRe.replaceAllIn(ours, "N") == numRe.replaceAllIn(ref, "N"),
+      "non-numeric structure differs")
+    val a = numRe.findAllIn(ours).map(_.toDouble).toVector
+    val b = numRe.findAllIn(ref).map(_.toDouble).toVector
+    assert(a.size == b.size)
+    var diffs = 0
+    a.zip(b).foreach { case (x, y) =>
+      if (x != y) {
+        diffs += 1
+        val ulps = Math.abs(
+          java.lang.Double.doubleToLongBits(x) - java.lang.Double.doubleToLongBits(y))
+        assert(ulps <= 8, s"coordinate $x vs $y differs by $ulps ulps")
+      }
+    }
+    assert(diffs <= maxUlpDiffs, s"$diffs coordinates differ (allowed $maxUlpDiffs)")
+  }
+
   test("Albers (NAD83 USA Contiguous) .prj reprojects byte-identically") {
     val albersPrj =
       s"""PROJCS["USA_Contiguous_Albers_Equal_Area_Conic",$nad83Geogcs,PROJECTION["Albers"],""" +
