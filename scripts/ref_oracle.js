@@ -204,7 +204,18 @@ switch (req.op) {
     out = GeoConvert.shapefile2Geojson({ shp, dbf, prj: req.prj }, true);
     break;
   }
+  case 'kmz2geojsons': {
+    // the reference's only async path (KMZ.js promise fan-in + count
+    // barrier) — run with the REAL jszip the reference bundles
+    global.JSZip = require('/root/reference/lib/jszip.min.js');
+    const kmz = Buffer.from(req.kmzB64, 'base64');
+    GeoConvert.kmz2Geojsons(kmz, (geojsons) => {
+      process.stdout.write(JSON.stringify(geojsons));
+    });
+    out = null; // async: written by the callback
+    break;
+  }
   default:
     throw new Error('unknown op ' + req.op);
 }
-process.stdout.write(out);
+if (out !== null) process.stdout.write(out);

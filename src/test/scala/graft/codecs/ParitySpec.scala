@@ -513,6 +513,29 @@ class ShpParitySpec extends AnyFunSuite {
 }
 
 class KmzSpec extends AnyFunSuite {
+  test("kmz2Geojsons matches reference byte-for-byte (live jszip + promise barrier)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val kml1 = """<kml><Document><Style id="s"><IconStyle><Icon><href>icons/pin.png</href></Icon></IconStyle></Style><Placemark><name>a</name><styleUrl>#s</styleUrl><Point><coordinates>1,2</coordinates></Point></Placemark></Document></kml>"""
+    val kml2 = """<kml><Document><Placemark><name>b</name><LineString><coordinates>1,2 3,4</coordinates></LineString></Placemark></Document></kml>"""
+    val png = graft.sources.ImageTable.encode(graft.sources.ImageTable.renderPattern(5, 8, 8), "png")
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(bytes); z.closeEntry()
+    }
+    put("doc.kml", kml1.getBytes("UTF-8"))
+    put("more.kml", kml2.getBytes("UTF-8"))
+    put("icons/pin.png", png)
+    put("notes.txt", "ignored".getBytes("UTF-8"))
+    z.close()
+    val kmz = bos.toByteArray
+    val ours = KmzCodec.kmz2Geojsons(kmz).map(_.render).mkString("[", ",", "]")
+    val ref = RefOracle.call("kmz2geojsons",
+      "kmzB64" -> JStr(java.util.Base64.getEncoder.encodeToString(kmz)))
+    assert(ours == ref)
+    assert(ours.contains("data:image/png;base64,"))
+  }
+
   test("kmz: kml entries + icon data-URI rewrite (pure Scala; zip semantics)") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val kml = """<kml><Document><Style id="s"><IconStyle><Icon><href>icons/pin.png</href></Icon></IconStyle></Style><Placemark><styleUrl>#s</styleUrl><Point><coordinates>1,2</coordinates></Point></Placemark></Document></kml>"""
