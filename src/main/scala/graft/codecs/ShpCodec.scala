@@ -67,16 +67,16 @@ object ShpCodec {
     case Some(p) if "GCS_WGS_1984|WGS84".r.findFirstIn(p).isDefined &&
       graft.core.Proj.parseUtmZone(p).isEmpty &&
       graft.core.PrjWkt.parse(p).isEmpty => None
-    case Some(p) if graft.core.PrjWkt.projcsTransform(p).isDefined =>
-      graft.core.PrjWkt.projcsTransform(p)
-    case Some(p) if graft.core.Proj.parseUtmZone(p).isDefined =>
-      val (zone, north) = graft.core.Proj.parseUtmZone(p).get
-      Some((x, y) => graft.core.Proj.utmToWgs84(x, y, zone, north))
-    case Some(p) if p.contains("3857") || p.toLowerCase.contains("mercator") =>
-      Some(webMercatorToWgs84)
     case Some(p) =>
-      throw new UnsupportedOperationException(
-        s"unsupported CRS (reference delegates to proj4): ${p.take(60)}")
+      graft.core.PrjWkt.projcsTransform(p)
+        .orElse(graft.core.Proj.parseUtmZone(p).map { case (zone, north) =>
+          (x: Double, y: Double) => graft.core.Proj.utmToWgs84(x, y, zone, north)
+        })
+        .orElse(
+          if (p.contains("3857") || p.toLowerCase.contains("mercator"))
+            Some(webMercatorToWgs84)
+          else throw new UnsupportedOperationException(
+            s"unsupported CRS (reference delegates to proj4): ${p.take(60)}"))
   }
 
   /** EPSG:3857 → WGS84 (spherical mercator inverse). */

@@ -291,7 +291,6 @@ object XmlJson {
         if (rest.tail.isEmpty) { // closing a top-level element
           if (rootTag == null) { rootTag = top.tag; rootValue = v }
         } else parent.addChild(top.tag, v)
-        if (rest.tail.isEmpty && rootTag == top.tag && rootValue != null) ()
         stack = rest
       case _ => ()
     }
@@ -336,6 +335,8 @@ object XmlJson {
                 val end = if (e < 0) n else e
                 el.addAttr(name, decodeEntities(str.substring(k, end)))
                 j = end + 1
+              } else if (name.isEmpty) {
+                j = k + 1 // stray '/' (not "/>") or similar: MUST advance
               } else {
                 el.addAttr(name, "")
                 j = k

@@ -33,8 +33,9 @@ object PowCR {
 
   /** pow(x, y) rounded like a correctly-rounded libm (glibc/V8). */
   def pow(x: Double, y: Double): Double = {
-    require(x > 0 && !x.isInfinite && !y.isNaN && !y.isInfinite,
-      s"PowCR domain: x>0 finite, y finite (got x=$x y=$y)")
+    require(x >= 0 && !x.isInfinite && !y.isNaN && !y.isInfinite,
+      s"PowCR domain: x>=0 finite, y finite (got x=$x y=$y)")
+    if (x == 0.0) return if (y > 0) 0.0 else if (y == 0) 1.0 else Double.PositiveInfinity
     if (y == 2.0) return x * x
     if (y == 1.0) return x
     if (y == 0.0) return 1.0

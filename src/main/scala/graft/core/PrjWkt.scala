@@ -36,10 +36,13 @@ object PrjWkt {
       val (a, rf) = sphRe.findFirstMatchIn(prj)
         .map(m => (m.group(1).toDouble, m.group(2).toDouble))
         .getOrElse((6378137.0, 298.257223563))
-      // the PROJCS-level UNIT is the last one in the string (the GEOGCS's
-      // angular UNIT comes first inside the nested block)
-      val toMeter = unitRe.findAllMatchIn(prj).toSeq.lastOption
-        .map(_.group(2).toDouble).getOrElse(1.0)
+      // the PROJCS-level UNIT is the LAST one (the GEOGCS's angular UNIT
+      // comes first inside the nested block). With only one UNIT present it
+      // is the angular one — proj4 then has no to_meter and applies no
+      // scaling, so fall back to 1.0 rather than 0.01745…
+      val units = unitRe.findAllMatchIn(prj).toSeq
+      val toMeter =
+        if (units.size >= 2) units.last.group(2).toDouble else 1.0
       Parsed(pm.group(1), params, a, rf, toMeter)
     }
 

@@ -28,10 +28,12 @@ private[functions] trait Str2Str extends UnaryExpression with CodegenFallback {
   override def nullSafeEval(v: Any): Any =
     try UTF8String.fromString(convert(v.asInstanceOf[UTF8String].toString))
     catch {
-      // the codecs signal malformed input with IAE (incl. NumberFormat) and
-      // slice/index errors on truncated documents
+      // the codecs signal malformed input with IAE (incl. NumberFormat),
+      // slice/index errors on truncated documents, and cast/match errors on
+      // structurally-invalid JSON trees (e.g. "coordinates": 7)
       case _: IllegalArgumentException | _: IndexOutOfBoundsException |
-           _: NoSuchElementException | _: UnsupportedOperationException => null
+           _: NoSuchElementException | _: UnsupportedOperationException |
+           _: ClassCastException | _: MatchError => null
     }
 }
 

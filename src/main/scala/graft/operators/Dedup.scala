@@ -211,10 +211,16 @@ object Dedup {
       maxBucket: Int = 65536): DataFrame = {
     val qa = (c: Column) => transform(c, x => round(x.cast("double") * 1000).cast("long"))
     val nq = (c: Column) => aggregate(qa(c), lit(0L), (acc, v) => acc + v * v)
+    // the squared cross-multiply runs in DECIMAL: long builtin arithmetic
+    // throws under ANSI on overflow (dot_q² · den exceeds 2^63 already for
+    // ~200-dim unnormalized vectors), and the values stay exact in
+    // decimal(38) up to ~10^4 dims
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
     embeddingNearDupVerified(df, id, emb, planes, bands, maxBucket,
       "dot_q", (a, b) => aggregate(zip_with(qa(a), qa(b), (x, y) => x * y), lit(0L), (acc, v) => acc + v),
       verified => verified.filter(col("dot_q") > 0 &&
-        col("dot_q") * col("dot_q") * cos2Den >= nq(col("emb_a")) * nq(col("emb_b")) * cos2Num))
+        col("dot_q").cast(dec) * col("dot_q").cast(dec) * cos2Den >=
+          nq(col("emb_a")).cast(dec) * nq(col("emb_b")).cast(dec) * cos2Num))
   }
 
   private def embeddingNearDupVerified(

@@ -218,12 +218,22 @@ object SpatialOps {
         .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"), first(col("q_lat")).as("q_lat"))
         .filter(col("n") === k && col("kth") <= guarantee(radius, col("q_lat")))
         .select("q_id")
+      // collect the SMALL side into an InSet filter: the satisfied ids when
+      // the whole query set is small, the pending ids once the pending tail
+      // (known from the previous pass) has shrunk below the threshold — a
+      // huge query set stops paying count + anti-join as soon as its
+      // unsatisfied remainder is collectable
       val nOk =
         if (totalQueries <= collectThreshold) {
           // one small job; materializes topk; InSet filter (no join, no plan blowup)
           val ids = okIds.collect().map(_.get(0)).toSeq
           pending = if (ids.isEmpty) q0 else q0.filter(!col("q_id").isInCollection(ids))
           ids.length.toLong
+        } else if (pendingCount <= collectThreshold) {
+          val ids = q0.join(okIds, Seq("q_id"), "left_anti")
+            .select("q_id").collect().map(_.get(0)).toSeq
+          pending = if (ids.isEmpty) q0.limit(0) else q0.filter(col("q_id").isInCollection(ids))
+          totalQueries - ids.length.toLong
         } else {
           val n = okIds.count()
           pending = if (n == 0) q0 else q0.join(okIds, Seq("q_id"), "left_anti")
