@@ -173,6 +173,9 @@ class XmlParitySpec extends AnyFunSuite {
     assert(XmlJson.xml2Json("""<a>x</a><b>y</b>""").render == """{"a":"x"}""")
     // stray close tags before any element are no-ops
     assert(XmlJson.xml2Json("""</z><a/>""").render == """{"a":""}""")
+    // stray '/' inside a tag (not "/>") must terminate, not stall the scanner
+    assert(XmlJson.xml2Json("""<a / ><b>x</b>""").render.nonEmpty)
+    assert(XmlJson.xml2Json("""<a foo/bar>t</a>""").render.nonEmpty)
     // no document element at all
     intercept[IllegalArgumentException](XmlJson.xml2Json("just text"))
   }

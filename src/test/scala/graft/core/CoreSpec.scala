@@ -227,6 +227,34 @@ class CellIndexSpec extends AnyFunSuite {
   }
 }
 
+class PowCRSpec extends AnyFunSuite {
+  test("correctly-rounded cases where fdlibm is a ulp off (glibc/V8 values)") {
+    // verified against 200-digit arithmetic AND glibc pow (scripts/powcr_check.py)
+    assert(PowCR.pow(3.32909952039427, -0.7495157992810939) == 0.4059829802831539)
+    assert(StrictMath.pow(3.32909952039427, -0.7495157992810939) == 0.4059829802831538)
+    assert(PowCR.pow(3.2315518976225506, 1.0643038413082646) == 3.484722726397075)
+  }
+  test("edge semantics match JS Math.pow on the projection domain") {
+    assert(PowCR.pow(0.0, 2.5) == 0.0)
+    assert(PowCR.pow(0.0, 0.0) == 1.0)
+    assert(PowCR.pow(0.0, -1.5).isPosInfinity)
+    assert(PowCR.pow(7.25, 2.0) == 7.25 * 7.25)
+    assert(PowCR.pow(5.5, 1.0) == 5.5)
+    assert(PowCR.pow(1.0, -3.7) == 1.0)
+    intercept[IllegalArgumentException](PowCR.pow(-2.0, 0.5))
+  }
+  test("agreement with fdlibm within 1 ulp across a seeded sweep") {
+    val rnd = new Random(99)
+    (1 to 20000).foreach { _ =>
+      val x = Math.exp(rnd.nextDouble() * 14 - 7)
+      val y = rnd.nextDouble() * 10 - 5
+      val a = PowCR.pow(x, y); val b = StrictMath.pow(x, y)
+      val ulps = Math.abs(java.lang.Double.doubleToLongBits(a) - java.lang.Double.doubleToLongBits(b))
+      assert(ulps <= 1, s"pow($x, $y): $a vs fdlibm $b ($ulps ulps)")
+    }
+  }
+}
+
 class ProjSpec extends AnyFunSuite {
   import graft.core.Proj
 
@@ -250,6 +278,10 @@ class ProjSpec extends AnyFunSuite {
     val p = PrjWkt.parse(prj).get
     assert(p.projection == "Lambert_Conformal_Conic")
     assert(p.toMeter == 0.3048006096012192) // last UNIT wins (projected unit)
+    // PROJCS without its own UNIT: the lone GEOGCS angular unit must NOT
+    // become a coordinate scale (proj4 applies none there)
+    val noLinear = prj.replace(""",UNIT["Foot_US",0.3048006096012192]""", "")
+    assert(PrjWkt.parse(noLinear).get.toMeter == 1.0)
     assert(p.params("false_easting") == 2296583.333333333)
     assert(PrjWkt.datumIsWgs84Compatible(p))
     // Clarke 1866 (NAD27) needs a real datum shift — must be rejected loudly
