@@ -10,10 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // session/codegen warmup outside any query's timing; queries run in
-    // name order (Map hash order put a random query first, charging it
-    // several seconds of JVM warmup run-to-run)
+    // session/codegen/datasource warmup outside any query's timing; queries
+    // run in name order (Map hash order put a random query first, charging
+    // it several seconds of JVM warmup run-to-run; a range-only warmup left
+    // ~2.5s of parquet-reader init on whichever query read a table first)
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
