@@ -71,6 +71,12 @@ class SpatialOpsSpec extends AnyFunSuite {
       .select(col("q_id"), col("id").as("p_id"), col("rn"))
       .as[(Long, Long, Long)].collect().toSet
     assert(got == brute)
+    // force the large-query-set paths: anti-join pending first, then the
+    // collected-pending InSet branch once the tail fits the tiny threshold
+    val gotAnti = SpatialOps.knnJoin(spark, queries, col("q_id"), col("q_lon"), col("q_lat"),
+        pts, col("id"), col("lon"), col("lat"), k = 7, res = 8, collectThreshold = 2L)
+      .select("q_id", "p_id", "rn").as[(Long, Long, Long)].collect().toSet
+    assert(gotAnti == brute)
   }
 
   test("knnJoinHaversine == brute haversine kNN (incl. high-latitude queries)") {
