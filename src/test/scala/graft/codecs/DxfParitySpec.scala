@@ -95,4 +95,31 @@ class DxfParitySpec extends AnyFunSuite {
       "  0", "ARC", "  8", "a", " 10", "0", " 20", "0", " 40", "2",
       " 50", "300", " 51", "20").mkString("\n")))
   }
+
+  test("DXF with conic .prj reprojects byte-identically (shared CRS gate, live proj4)") {
+    // DXF.js:42-57 applies the same Transitions gate as the shapefile path;
+    // the arc segmentization runs BEFORE reprojection, so every segment
+    // vertex goes through the LCC inverse — a dense parity surface
+    val prj =
+      """PROJCS["Custom_LCC_NAD83",GEOGCS["GCS_North_American_1983",""" +
+        """DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],""" +
+        """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+        """PROJECTION["Lambert_Conformal_Conic"],PARAMETER["False_Easting",700000.0],""" +
+        """PARAMETER["False_Northing",300000.0],PARAMETER["Central_Meridian",-100.0],""" +
+        """PARAMETER["Standard_Parallel_1",27.5],PARAMETER["Standard_Parallel_2",35.0],""" +
+        """PARAMETER["Latitude_Of_Origin",31.166666666666668],UNIT["Meter",1.0]]"""
+    val doc = dxf(Seq(
+      "  0", "LINE", "  8", "r", " 10", "700000", " 20", "300000",
+      " 11", "712345.25", " 21", "309876.5",
+      "  0", "ARC", "  8", "a", " 10", "800000", " 20", "500000", " 30", "0",
+      " 40", "12500", " 50", "30", " 51", "120",
+      "  0", "LWPOLYLINE", "  8", "p", " 70", "1",
+      " 10", "650000", " 20", "450000", " 10", "660000", " 20", "450000",
+      " 10", "660000", " 20", "460000").mkString("\n"))
+    val ours = DxfCodec.dxf2GeojsonString(doc, Some(prj))
+    val ref = RefOracle.call("dxf2geojson", "input" -> graft.core.JStr(doc),
+      "prj" -> graft.core.JStr(prj))
+    assert(ours == ref)
+    assert(ours.contains("-100.") || ours.contains("-99.")) // actually reprojected
+  }
 }
