@@ -71,7 +71,9 @@ object PrjWkt {
       val isAea = name.contains("albers")
       val isTm = name == "transverse_mercator" || name == "transverse mercator" ||
         name.contains("gauss_kruger")
-      if (!isLcc && !isAea && !isTm) None
+      val isPolarStereo = name == "stereographic_south_pole" ||
+        name == "polar stereographic (variant b)"
+      if (!isLcc && !isAea && !isTm && !isPolarStereo) None
       else {
         require(datumIsWgs84Compatible(p),
           s"conic CRS needs a datum shift (a=${p.a}, rf=${p.rf}) — unsupported (reference's proj4 " +
@@ -88,7 +90,8 @@ object PrjWkt {
         def lat1 = deg("standard_parallel_1").getOrElse(
           throw new IllegalArgumentException("conic .prj missing Standard_Parallel_1")) * Proj.D2R
         val inv: (Double, Double) => (Double, Double) =
-          if (isTm) Proj.Tmerc(p.a, b, lat0, long0, x0, y0, k0).inverse
+          if (isPolarStereo) Proj.PolarStereo(p.a, b, lat1, long0, x0, y0, k0).inverse
+          else if (isTm) Proj.Tmerc(p.a, b, lat0, long0, x0, y0, k0).inverse
           else if (isLcc) {
             val lat2 = deg("standard_parallel_2").map(_ * Proj.D2R).getOrElse(Double.NaN)
             Proj.Lcc(p.a, b, lat0, lat1, lat2, long0, x0, y0, k0).inverse

@@ -240,6 +240,36 @@ object Proj {
     }
   }
 
+  /** South-polar Stereographic on an a/b ellipsoid (proj4 `stere`, polar
+    * branch — the ONLY stereographic variant the reference's proj4 maps
+    * from WKT: names "Stereographic_South_Pole" / "Polar Stereographic
+    * (variant B)"; its WKT path pins lat0 = ±90° from the sign of
+    * Standard_Parallel_1 and lat_ts = that parallel). Radians in/out. */
+  final case class PolarStereo(a: Double, b: Double, latTs: Double,
+      long0: Double, x0: Double, y0: Double, k0In: Double) {
+    private val e = { val t = b / a; Math.sqrt(1 - t * t) }
+    private val con = if (latTs > 0) 1.0 else -1.0 // lat0 = sign(lat_ts)·90°
+    private val lat0 = con * HalfPi
+    private val cons = Math.sqrt(PowCR.pow(1 + e, 1 + e) * PowCR.pow(1 - e, 1 - e))
+    private val k0 =
+      if (k0In == 1.0)
+        0.5 * cons * msfnz(e, StrictMath.sin(latTs), StrictMath.cos(latTs)) /
+          tsfnz(e, con * latTs, con * StrictMath.sin(latTs))
+      else k0In
+
+    def inverse(px: Double, py: Double): (Double, Double) = {
+      var x = px - x0
+      var y = py - y0
+      val k = Math.sqrt(x * x + y * y)
+      if (k <= 1e-10) return (long0, lat0)
+      x *= con; y *= con
+      val ts = k * cons / (2 * a * k0)
+      val lat = con * phi2z(e, ts)
+      val lon = con * adjustLon(con * long0 + StrictMath.atan2(x, -1 * y))
+      (lon, lat)
+    }
+  }
+
   /** Albers Conic Equal-Area on an a/b ellipsoid; radians in/out. */
   final case class Aea(a: Double, b: Double, lat0: Double, lat1: Double, lat2: Double,
       long0: Double, x0: Double, y0: Double) {

@@ -496,6 +496,24 @@ class ShpParitySpec extends AnyFunSuite {
     assert(diffs <= maxUlpDiffs, s"$diffs coordinates differ (allowed $maxUlpDiffs)")
   }
 
+  test("South-polar Stereographic .prj reprojects byte-identically") {
+    // the only stereographic variant the reference's proj4 maps from WKT;
+    // NAD83 datum so the regex gate doesn't short-circuit the transform
+    val psPrj =
+      s"""PROJCS["Custom_Antarctic_PS",$nad83Geogcs,PROJECTION["Stereographic_South_Pole"],""" +
+        """PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",0.0],PARAMETER["Standard_Parallel_1",-71.0],""" +
+        """UNIT["Meter",1.0]]"""
+    val shp = shpFile(Seq(
+      point(0.0, -1234567.875),
+      point(2200000.5, 1100000.25),
+      point(0.0, 0.0), // the pole itself (k == 0 branch)
+      poly(3, Seq(Seq((-1500000.0, -1500000.0), (-800000.125, 400000.5), (100000.0, 2000000.0))))),
+      (-1500000.0, -1500000.0, 2200000.5, 2000000.0))
+    val dbf = ShpBuilder.dbf(Seq(("ID", 'N', 3)), Seq(Seq("1"), Seq("2"), Seq("3"), Seq("4")))
+    compare(shp, dbf, Some(psPrj))
+  }
+
   test("Albers (NAD83 USA Contiguous) .prj reprojects byte-identically") {
     val albersPrj =
       s"""PROJCS["USA_Contiguous_Albers_Equal_Area_Conic",$nad83Geogcs,PROJECTION["Albers"],""" +
