@@ -270,6 +270,171 @@ object Proj {
     }
   }
 
+  /** Double Stereographic via the Gaussian conformal sphere (proj4 `sterea`
+    * = gauss + stereographic, GCTP "Oblique Stereographic Alternative").
+    * This — NOT the polar `stere` branch — is what the reference's proj4
+    * maps for the WKT names `Stereographic_North_Pole`,
+    * `Oblique_Stereographic`, and `Polar_Stereographic` (names list in
+    * `/root/reference/lib/proj4.js` module 61; `stere` maps only the south
+    * pole + variant-B names). Radians in/out; es is the deriveConstants
+    * value (a²−b²)/a², exact argument order preserved for byte parity. */
+  final case class Sterea(a: Double, es: Double, lat0: Double,
+      long0: Double, x0: Double, y0: Double, k0: Double) {
+    private val e = Math.sqrt(es)
+    private val QuartPi = Math.PI / 4
+    // gauss init (module 46): conformal-sphere constants
+    private val sinLat0 = StrictMath.sin(lat0)
+    private val cos2 = { val c = StrictMath.cos(lat0); c * c }
+    private val rc = Math.sqrt(1 - es) / (1 - es * sinLat0 * sinLat0)
+    private val cC = Math.sqrt(1 + es * cos2 * cos2 / (1 - es))
+    private val phic0 = StrictMath.asin(sinLat0 / cC)
+    private val ratexp = 0.5 * cC * e
+    private val bigK = StrictMath.tan(0.5 * phic0 + QuartPi) /
+      (PowCR.pow(StrictMath.tan(0.5 * lat0 + QuartPi), cC) * srat(e * sinLat0, ratexp))
+    private val sinc0 = StrictMath.sin(phic0)
+    private val cosc0 = StrictMath.cos(phic0)
+    private val r2 = 2 * rc
+
+    /** proj4 common/srat: ((1−esinp)/(1+esinp))^exp — general-exponent pow
+      * goes through PowCR like the conics. */
+    private def srat(esinp: Double, ex: Double): Double =
+      PowCR.pow((1 - esinp) / (1 + esinp), ex)
+
+    def inverse(px: Double, py: Double): (Double, Double) = {
+      var x = (px - x0) / a
+      var y = (py - y0) / a
+      x /= k0; y /= k0
+      val h = Math.sqrt(x * x + y * y)
+      var gx = 0.0
+      var gy = phic0
+      if (h != 0) {
+        val rho = 2 * StrictMath.atan2(h, r2)
+        val sinRho = StrictMath.sin(rho); val cosRho = StrictMath.cos(rho)
+        gy = StrictMath.asin(cosRho * sinc0 + y * sinRho * cosc0 / h)
+        gx = StrictMath.atan2(x * sinRho, h * cosc0 * cosRho - y * sinc0 * sinRho)
+      }
+      // gauss inverse: fixed point on the conformal latitude (20 iters, 1e-14)
+      val lon = gx / cC
+      val i0 = PowCR.pow(StrictMath.tan(0.5 * gy + QuartPi) / bigK, 1 / cC)
+      var ay = gy
+      var h2 = gy
+      var j = 20
+      var converged = false
+      while (j > 0 && !converged) {
+        h2 = 2 * StrictMath.atan(i0 * srat(e * StrictMath.sin(ay), -0.5 * e)) - HalfPi
+        if (Math.abs(h2 - ay) < 1e-14) converged = true
+        else { ay = h2; j -= 1 }
+      }
+      require(converged, "sterea inverse: gauss iteration did not converge")
+      (adjustLon(lon + long0), h2)
+    }
+  }
+
+  /** Lambert Azimuthal Equal-Area, ellipsoidal path (proj4 `laea`, module
+    * 49: Snyder 24-x/3-18 with the authalic-latitude series). Modes derived
+    * from lat0 exactly as the reference (pole/equatorial/oblique); radians
+    * in/out; es is the deriveConstants value. */
+  final case class Laea(a: Double, es: Double, lat0: Double,
+      long0: Double, x0: Double, y0: Double) {
+    require(es > 0, "laea: spherical path unreachable from .prj SPHEROID input")
+    private val e = Math.sqrt(es)
+    private val Eps10 = 1e-10
+    // modes (proj4 constants): 1=S_POLE 2=N_POLE 3=EQUIT 4=OBLIQ
+    private val mode =
+      if (Math.abs(Math.abs(lat0) - HalfPi) < Eps10) { if (lat0 < 0) 1 else 2 }
+      else if (Math.abs(lat0) < Eps10) 3
+      else 4
+    private val qp = qsfnz(e, 1.0)
+    // authset (module 49 P00..P20): authalic→geodetic series coefficients
+    private val apa = {
+      val c = new Array[Double](3)
+      c(0) = es * 0.3333333333333333
+      var b = es * es
+      c(0) += b * 0.17222222222222222
+      c(1) = b * 0.06388888888888888
+      b *= es
+      c(0) += b * 0.10257936507936508
+      c(1) += b * 0.0664021164021164
+      c(2) = b * 0.016415012942191543
+      c
+    }
+    private val (rq, dd, sinb1, cosb1) = mode match {
+      case 1 | 2 => (0.0, 1.0, 0.0, 0.0)
+      case 3 =>
+        val r = Math.sqrt(0.5 * qp); (r, 1 / r, 0.0, 0.0)
+      case _ =>
+        val r = Math.sqrt(0.5 * qp)
+        val b = StrictMath.sin(lat0)
+        val sb = qsfnz(e, b) / qp
+        val cb = Math.sqrt(1 - sb * sb)
+        (r, StrictMath.cos(lat0) / (Math.sqrt(1 - es * b * b) * r * cb), sb, cb)
+    }
+
+    private def authlat(beta: Double): Double = {
+      val t = beta + beta
+      beta + apa(0) * StrictMath.sin(t) + apa(1) * StrictMath.sin(t + t) +
+        apa(2) * StrictMath.sin(t + t + t)
+    }
+
+    def inverse(px: Double, py: Double): (Double, Double) = {
+      var l = (px - x0) / a
+      var m = (py - y0) / a
+      var k = 0.0
+      if (mode == 3 || mode == 4) {
+        l /= dd; m *= dd
+        val j = Math.sqrt(l * l + m * m)
+        // proj4 early-return at the exact projection center: a.x=0 (NOT
+        // long0) and a.y=this.phi0 which the ellipsoidal init never sets —
+        // undefined → NaN. Sub-nanometer-from-origin input only; mirrored.
+        if (j < Eps10) return (0.0, Double.NaN)
+        val ce = 2 * StrictMath.asin(0.5 * j / rq)
+        val cosCe = StrictMath.cos(ce); val sinCe = StrictMath.sin(ce)
+        l *= sinCe
+        if (mode == 4) {
+          k = cosCe * sinb1 + m * sinCe * cosb1 / j
+          m = j * cosb1 * cosCe - m * sinb1 * sinCe
+        } else {
+          k = m * sinCe / j
+          m = j * cosCe
+        }
+      } else {
+        if (mode == 2) m = -m
+        val i = l * l + m * m
+        if (i == 0) return (0.0, Double.NaN)
+        k = 1 - i / qp
+        if (mode == 1) k = -k
+      }
+      val b = StrictMath.atan2(l, m)
+      (adjustLon(long0 + b), authlat(StrictMath.asin(k)))
+    }
+  }
+
+  /** Mercator (proj4 `merc`): ellipsoidal via phi2z, or the auxiliary-sphere
+    * branch (ESRI `Mercator_Auxiliary_Sphere` on a WGS-1984 datum — the only
+    * way the reference's WKT path sets `sphere`). NOTE the module recomputes
+    * es = 1 − (b/a)² locally (bit-different from deriveConstants' (a²−b²)/a²)
+    * and the ESRI WKT path never maps Standard_Parallel_1 to lat_ts, so
+    * k0 = Scale_Factor or 1 — both quirks preserved. Radians in/out. */
+  final case class Merc(a: Double, b: Double, long0: Double,
+      x0: Double, y0: Double, k0: Double, sphere: Boolean) {
+    private val es = { val t = b / a; 1 - t * t }
+    private val e = Math.sqrt(es)
+
+    def inverse(px: Double, py: Double): (Double, Double) = {
+      val x = px - x0
+      val y = py - y0
+      val lat =
+        if (sphere) HalfPi - 2 * StrictMath.atan(StrictMath.exp(-y / (a * k0)))
+        else {
+          val ts = StrictMath.exp(-y / (a * k0))
+          val p = phi2z(e, ts)
+          require(p != -9999.0, "merc inverse: phi2z did not converge")
+          p
+        }
+      (adjustLon(long0 + x / (a * k0)), lat)
+    }
+  }
+
   /** Albers Conic Equal-Area on an a/b ellipsoid; radians in/out. */
   final case class Aea(a: Double, b: Double, lat0: Double, lat1: Double, lat2: Double,
       long0: Double, x0: Double, y0: Double) {

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard verification, embedding near-dup. All
@@ -16,9 +17,62 @@ import org.apache.spark.sql.functions._
   *    collect), so a hot bucket can never OOM an executor;
   *  - drops are never silent: the candidate output carries an
   *    `n_dropped_buckets` metric column (0 in healthy runs — the DuckDB
-  *    oracle asserts exactly that at gate scales).
+  *    oracle asserts exactly that at gate scales). Known limitation: the
+  *    metric rides on pair rows, so a corpus where EVERY candidate pair
+  *    lives in dropped buckets yields an empty frame and the nonzero drop
+  *    count is not observable from the output alone — callers that must
+  *    distinguish "no near-dups" from "all buckets dropped" should lower
+  *    `maxBucket` expectations or count oversized buckets directly
+  *    (`groupBy(band, hash).count.filter(_ > maxBucket)`) on their corpus;
+  *  - IN-cap buckets never concentrate work either: [[simhashPairs]] and
+  *    the embedding near-dup generate pairs through [[chunkPairRows]], so
+  *    per-row and per-task pair volume is bounded by `chunkSize²`
+  *    regardless of bucket size (a 64k-member in-cap bucket becomes
+  *    C(128,2)+128 ≈ 8k distributable chunk-pair rows, not one 2·10⁹-pair
+  *    row).
   */
 object Dedup {
+
+  /** Default side length of in-bucket pair chunks: 512² = 262k pairs per
+    * exploded row (a few MB of (id, sig) structs), small enough that any
+    * task's flatten buffer is trivially memory-safe. */
+  val DefaultChunkSize = 512
+
+  /** Chunk-pair rows for bounded in-bucket pair generation: members of each
+    * `keyCols` bucket (already cap-filtered) are deterministically ordered
+    * by the `x` payload struct (id-first), split into chunks of `chunkSize`,
+    * and every chunk pair (i ≤ j) becomes ONE row carrying the two member
+    * arrays. Rows are hash-redistributed on (key, chunk_i, chunk_j) so the
+    * subsequent explode spreads across the cluster — per-task pair volume is
+    * bounded by chunkSize² independently of bucket size. Ordering by id
+    * across chunks preserves the id_a < id_b pair orientation. */
+  private[operators] def chunkPairRows(
+      kept: DataFrame, keyCols: Seq[String], chunkSize: Int): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("x"))
+    val chunks = kept
+      .withColumn("__ck", ((row_number().over(w) - 1).cast("long") / chunkSize).cast("int"))
+      .groupBy((keyCols.map(col) :+ col("__ck")): _*)
+      .agg(sort_array(collect_list(col("x"))).as("xs"))
+    val left = chunks.select(keyCols.map(col) ++ Seq(col("__ck").as("__cka"), col("xs").as("__xa")): _*)
+    val right = chunks.select(keyCols.map(col) ++ Seq(col("__ck").as("__ckb"), col("xs").as("__xb")): _*)
+    left.join(right, keyCols)
+      .filter(col("__cka") <= col("__ckb"))
+      .repartition((keyCols.map(col) ++ Seq(col("__cka"), col("__ckb"))): _*)
+  }
+
+  /** [[chunkPairRows]] → exploded (a, b) payload pairs, each unordered pair
+    * exactly once per bucket (intra-chunk: strict upper triangle;
+    * inter-chunk: full cross product — chunks partition the bucket). */
+  private def chunkedBucketPairs(
+      kept: DataFrame, keyCols: Seq[String], chunkSize: Int): DataFrame =
+    chunkPairRows(kept, keyCols, chunkSize)
+      .select(explode(when(col("__cka") === col("__ckb"),
+          expr(
+            """flatten(transform(__xa, (x, i) ->
+              |  transform(slice(__xa, i + 2, size(__xa) - i - 1), y -> struct(x AS a, y AS b))))""".stripMargin))
+        .otherwise(
+          expr("flatten(transform(__xa, x -> transform(__xb, y -> struct(x AS a, y AS b))))"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
 
   /** Exact dedup on a content column: keeps the first row (min of `keep`)
     * per distinct content hash. Map-side partial aggregation; one shuffle. */
@@ -145,12 +199,15 @@ object Dedup {
     *
     * Same hot-bucket cap + metric column as [[minhashCandidates]]; the id
     * AND signature ride inside the bucket struct so verification needs no
-    * join back to the corpus. Returns (id_a, id_b, hamming,
-    * n_dropped_buckets), id_a < id_b.
+    * join back to the corpus. In-bucket pairs are generated through
+    * [[chunkPairRows]] so an in-cap hot bucket (up to `maxBucket` members)
+    * never materializes more than `chunkSize²` pairs in any one row or
+    * task. Returns (id_a, id_b, hamming, n_dropped_buckets), id_a < id_b.
     */
   def simhashPairs(
       df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3, maxBucket: Int = 65536): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 65536,
+      chunkSize: Int = DefaultChunkSize): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
     val blocks = maxHamming + 1
     // widths as equal as possible; first (64 % blocks) blocks get the extra bit
@@ -165,17 +222,12 @@ object Dedup {
     val counts = banded.groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
     val dropped = counts.filter(col("__bn") > maxBucket)
       .agg(count(lit(1)).as("n_dropped_buckets"))
-    val buckets = banded
+    val kept = banded
       .join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bh"))
-      .groupBy("band", "bh")
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
-    buckets
-      .select(explode(expr(
-        """flatten(transform(xs, (x, i) ->
-          |  transform(slice(xs, i + 2, size(xs) - i - 1),
-          |            y -> struct(x.id AS id_a, x.sig AS sig_a, y.id AS id_b, y.sig AS sig_b))))""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"),
-        hamming(col("p.sig_a"), col("p.sig_b")).cast("long").as("hamming"))
+      .select(col("band"), col("bh"), struct(col("id"), col("sig")).as("x"))
+    chunkedBucketPairs(kept, Seq("band", "bh"), chunkSize)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sig"), col("b.sig")).cast("long").as("hamming"))
       .groupBy("id_a", "id_b")
       .agg(first(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -193,10 +245,10 @@ object Dedup {
   def embeddingNearDup(
       df: DataFrame, id: Column, emb: Column,
       planes: Int = 64, bands: Int = 4, minCosine: Double = 0.95,
-      maxBucket: Int = 65536): DataFrame =
+      maxBucket: Int = 65536, chunkSize: Int = DefaultChunkSize): DataFrame =
     embeddingNearDupVerified(df, id, emb, planes, bands, maxBucket,
       "cosine", (a, b) => Ann.cosine(a, b),
-      verified => verified.filter(col("cosine") >= minCosine))
+      verified => verified.filter(col("cosine") >= minCosine), chunkSize)
 
   /** [[embeddingNearDup]] with the exact integer predicate
     * cos²(a,b) ≥ cos2Num/cos2Den over scale-1000 quantized vectors —
@@ -208,7 +260,7 @@ object Dedup {
       df: DataFrame, id: Column, emb: Column,
       planes: Int = 64, bands: Int = 4,
       cos2Num: Long = 361L, cos2Den: Long = 400L,
-      maxBucket: Int = 65536): DataFrame = {
+      maxBucket: Int = 65536, chunkSize: Int = DefaultChunkSize): DataFrame = {
     val qa = (c: Column) => transform(c, x => round(x.cast("double") * 1000).cast("long"))
     val nq = (c: Column) => aggregate(qa(c), lit(0L), (acc, v) => acc + v * v)
     // the squared cross-multiply runs in DECIMAL: long builtin arithmetic
@@ -220,34 +272,46 @@ object Dedup {
       "dot_q", (a, b) => aggregate(zip_with(qa(a), qa(b), (x, y) => x * y), lit(0L), (acc, v) => acc + v),
       verified => verified.filter(col("dot_q") > 0 &&
         col("dot_q").cast(dec) * col("dot_q").cast(dec) * cos2Den >=
-          nq(col("emb_a")).cast(dec) * nq(col("emb_b")).cast(dec) * cos2Num))
+          nq(col("emb_a")).cast(dec) * nq(col("emb_b")).cast(dec) * cos2Num),
+      chunkSize)
   }
 
   private def embeddingNearDupVerified(
       df: DataFrame, id: Column, emb: Column,
       planes: Int, bands: Int, maxBucket: Int,
       scoreName: String, score: (Column, Column) => Column,
-      verify: DataFrame => DataFrame): DataFrame = {
+      verify: DataFrame => DataFrame,
+      chunkSize: Int = DefaultChunkSize): DataFrame = {
     require(planes % bands == 0 && planes <= 64, "planes must be ≤64 and divisible by bands")
     val width = planes / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
     val sigExpr = Ann.hyperplaneSig(emb, planes)
+    // the embedding frame feeds banding plus the two verification joins —
+    // persist it so the hyperplane signatures run once
     val sigs = df.select(id.as("id"), emb.as("emb"), sigExpr.as("sig"))
-    val banded = sigs.select(col("id"), col("emb"), posexplode(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheTracker.register(sigs)
+    val banded = sigs.select(col("id"), posexplode(
       array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*))
       .as(Seq("band", "bv")))
     val counts = banded.groupBy("band", "bv").agg(count(lit(1)).as("__bn"))
     val dropped = counts.filter(col("__bn") > maxBucket)
       .agg(count(lit(1)).as("n_dropped_buckets"))
-    val kept = banded.join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bv"))
-    val a = kept.select(col("band"), col("bv"), col("id").as("id_a"), col("emb").as("emb_a"))
-    val b = kept.select(col("band"), col("bv"), col("id").as("id_b"), col("emb").as("emb_b"))
-    val cand = a.join(b, Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "emb_a", "emb_b")
+    // pairs are generated id-only through bounded chunk rows (embeddings
+    // would multiply the chunk payload by the vector width; joining them
+    // back onto the deduplicated pair set is the skinny-shuffle shape), so
+    // an in-cap hot bucket costs chunkSize²-pair tasks, never one mega-row
+    val kept = banded
+      .join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bv"))
+      .select(col("band"), col("bv"), struct(col("id")).as("x"))
+    val cand = chunkedBucketPairs(kept, Seq("band", "bv"), chunkSize)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(first(col("emb_a")).as("emb_a"), first(col("emb_b")).as("emb_b"))
+      .agg(count(lit(1)).as("__nb"))
+      .drop("__nb")
+      .join(sigs.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
     verify(cand.withColumn(scoreName, score(col("emb_a"), col("emb_b"))))
       .select(col("id_a"), col("id_b"), col(scoreName))
       .crossJoin(broadcast(dropped))

@@ -232,6 +232,39 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(pairs < quadratic / 1000, s"pairs=$pairs not sub-quadratic (all-pairs=$quadratic)")
   }
 
+  test("chunked pair generation: 64k-member in-cap bucket stays bounded per row/task") {
+    // one bucket at the old failure size (65,536 members). Chunking must turn
+    // it into C(64,2)+64 = 2,080 distributable chunk-pair rows, each carrying
+    // ≤ chunkSize members per side (≤ chunkSize² pairs per exploded row) —
+    // never one row that explodes 65536²/2 ≈ 2.1e9 pairs.
+    val kept = spark.range(65536).select(
+      lit(0).as("band"), lit(42L).as("bh"), struct(col("id")).as("x"))
+    val rows = Dedup.chunkPairRows(kept, Seq("band", "bh"), chunkSize = 1024)
+      .select(size(col("__xa")).as("na"), size(col("__xb")).as("nb"))
+      .agg(count(lit(1)), max(col("na")), max(col("nb")))
+      .head()
+    assert(rows.getLong(0) == 2080L, s"chunk-pair rows = ${rows.getLong(0)}, want 2080")
+    assert(rows.getInt(1) <= 1024 && rows.getInt(2) <= 1024,
+      s"chunk sizes ${rows.getInt(1)}/${rows.getInt(2)} exceed the bound")
+  }
+
+  test("chunked pairs == unchunked: simhash output invariant under chunkSize") {
+    val d = docs(150).cache()
+    val whole = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val chunked = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxHamming = 3,
+      chunkSize = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(chunked == whole, s"missing=${whole -- chunked} extra=${chunked -- whole}")
+    // identical docs spanning many chunks: every unordered pair exactly once
+    val same = spark.range(500).select(col("id").as("doc_id"),
+      lit("identical text in every row of this block").as("text"))
+    val pairs = Dedup.simhashPairs(same, col("doc_id"), col("text"),
+      maxHamming = 0, chunkSize = 64)
+    assert(pairs.count() == 500L * 499 / 2)
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
   test("banded embedding near-dup: planted near-copies found, predicate exact vs brute") {
     val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
