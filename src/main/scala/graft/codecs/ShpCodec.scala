@@ -52,11 +52,13 @@ object ShpCodec {
   /** Q8 gate: prj absent or matching /GCS_WGS_1984|WGS84/ → identity.
     * Supported reprojections (from scratch; the reference delegates to
     * proj4): parity-exact against the reference's proj4 path — Lambert
-    * Conformal Conic, Albers Equal-Area, and param-driven Transverse
-    * Mercator (State Plane TM / Gauss-Krüger / full ESRI UTM WKT) on
-    * WGS84/GRS80-compatible datums (core.Proj.Lcc/Aea/Tmerc, core.PrjWkt);
-    * plus zone-name UTM (Krüger, WGS84 ellipsoid — bare "UTM Zone NN"
-    * strings proj4 cannot parse) and Web-Mercator. */
+    * Conformal Conic, Albers Equal-Area, param-driven Transverse Mercator
+    * (State Plane TM / Gauss-Krüger / full ESRI UTM WKT), polar + double
+    * stereographic, Lambert Azimuthal Equal-Area, and Mercator (incl. the
+    * ESRI auxiliary-sphere branch) with the bundle's 3/7-param Helmert
+    * datum shifts (core.Proj, core.Datum, core.PrjWkt); plus zone-name UTM
+    * (Krüger, WGS84 ellipsoid — bare "UTM Zone NN" strings proj4 cannot
+    * parse) and Web-Mercator for non-WKT CRS strings. */
   def transformFor(prj: Option[String]): Option[Transform] = prj match {
     case None => None
     // intentional divergence from the reference's regex (documented, like
@@ -67,16 +69,23 @@ object ShpCodec {
     case Some(p) if "GCS_WGS_1984|WGS84".r.findFirstIn(p).isDefined &&
       graft.core.Proj.parseUtmZone(p).isEmpty &&
       graft.core.PrjWkt.parse(p).isEmpty => None
+    case Some(p) if graft.core.PrjWkt.parse(p).isDefined =>
+      // a parseable PROJCS either maps to a supported family or fails
+      // LOUDLY — never the web-mercator substring fallback (a Hotine .prj
+      // contains "Mercator" but is a different projection; the live bundle
+      // itself emits NaN for it because its WKT path never maps the azimuth)
+      Some(graft.core.PrjWkt.projcsTransform(p).getOrElse(
+        throw new UnsupportedOperationException(
+          s"unsupported PROJECTION (reference's proj4 WKT path cannot produce " +
+            s"finite output for it either, or it is unimplemented): ${p.take(80)}")))
     case Some(p) =>
-      graft.core.PrjWkt.projcsTransform(p)
-        .orElse(graft.core.Proj.parseUtmZone(p).map { case (zone, north) =>
-          (x: Double, y: Double) => graft.core.Proj.utmToWgs84(x, y, zone, north)
-        })
-        .orElse(
-          if (p.contains("3857") || p.toLowerCase.contains("mercator"))
-            Some(webMercatorToWgs84)
-          else throw new UnsupportedOperationException(
-            s"unsupported CRS (reference delegates to proj4): ${p.take(60)}"))
+      graft.core.Proj.parseUtmZone(p).map { case (zone, north) =>
+        (x: Double, y: Double) => graft.core.Proj.utmToWgs84(x, y, zone, north)
+      }.orElse(
+        if (p.contains("3857") || p.toLowerCase.contains("mercator"))
+          Some(webMercatorToWgs84)
+        else throw new UnsupportedOperationException(
+          s"unsupported CRS (reference delegates to proj4): ${p.take(60)}"))
   }
 
   /** EPSG:3857 → WGS84 (spherical mercator inverse). */

@@ -1,20 +1,24 @@
 package graft.core
 
-/** Minimal ESRI .prj (WKT1) reader for the conic CRS gate.
+/** Minimal ESRI .prj (WKT1) reader for the CRS gate.
   *
   * Mirrors the parameter aliasing of the reference's proj4 WKT path
   * (`/root/reference/lib/proj4.js` wkt module): parameter names matched
-  * case-insensitively; angles converted with the D2R literal; false
-  * easting/northing scaled by the projected UNIT factor at parse time; the
-  * linear unit factor also pre-multiplies input coordinates before the
-  * inverse projection; b derived from the SPHEROID's inverse flattening as
-  * (1 − 1/rf)·a.
+  * case-insensitively with first-mapping-wins precedence (latitude_of_center
+  * → latitude_of_origin → standard_parallel_1 for lat0); angles converted
+  * with the D2R literal; false easting/northing scaled by the projected UNIT
+  * factor at parse time; the linear unit factor also pre-multiplies input
+  * coordinates before the inverse projection; b derived from the SPHEROID's
+  * inverse flattening as (1 − 1/rf)·a.
   *
-  * Datum guard: the reference's proj4 performs NO datum shift when
-  * compare_datums holds (same a, |Δes| ≤ 5e-11 — true for WGS84 vs
-  * NAD83/GRS80, the common LCC/Albers government case). CRS outside that
-  * envelope would need a real geocentric datum transform, so the gate
-  * rejects them loudly rather than silently mis-projecting.
+  * Datum handling mirrors the bundle end-to-end (core.Datum): datums inside
+  * the compare_datums envelope (a == 6378137, |Δes| ≤ 5e-11 — WGS84 vs
+  * NAD83/GRS80) shift nothing; every other datum goes through the bundle's
+  * geocentric round-trip with the 3/7-parameter Helmert when the WKT DATUM
+  * name reaches a towgs84 table entry (OSGB 1936, Potsdam, CH1903, …) and a
+  * pure ellipsoid swap otherwise (e.g. NAD27/Clarke 1866 — its table key is
+  * unreachable from the ESRI name, so the reference itself applies no
+  * parameter shift; verified against the live bundle).
   */
 object PrjWkt {
 
@@ -22,12 +26,14 @@ object PrjWkt {
       projection: String,
       params: Map[String, Double],   // lowercased PARAMETER name → value
       a: Double, rf: Double,
-      toMeter: Double)
+      toMeter: Double,
+      datumName: Option[String])
 
   private val projRe = """PROJECTION\["([^"]+)"\]""".r
   private val paramRe = """PARAMETER\["([^"]+)"\s*,\s*([-+0-9.eE]+)\]""".r
   private val sphRe = """SPHEROID\["[^"]*"\s*,\s*([-+0-9.eE]+)\s*,\s*([-+0-9.eE]+)""".r
   private val unitRe = """UNIT\["([^"]*)"\s*,\s*([-+0-9.eE]+)""".r
+  private val datumRe = """DATUM\["([^"]+)"""".r
 
   def parse(prj: String): Option[Parsed] =
     projRe.findFirstMatchIn(prj).map { pm =>
@@ -43,26 +49,25 @@ object PrjWkt {
       val units = unitRe.findAllMatchIn(prj).toSeq
       val toMeter =
         if (units.size >= 2) units.last.group(2).toDouble else 1.0
-      Parsed(pm.group(1), params, a, rf, toMeter)
+      Parsed(pm.group(1), params, a, rf, toMeter,
+        datumRe.findFirstMatchIn(prj).map(_.group(1)))
     }
 
-  /** WGS84 reference es, computed exactly as proj4's deriveConstants does. */
-  private val wgs84Es = es(6378137.0, 298.257223563)
-
-  private def es(a: Double, rf: Double): Double = {
-    val b = (1 - 1 / rf) * a
-    val a2 = a * a; val b2 = b * b
-    (a2 - b2) / a2
-  }
-
-  /** proj4 compare_datums envelope: no datum shift needed/applied. */
+  /** proj4 compare_datums envelope: no datum shift needed/applied (kept for
+    * callers that want the cheap check; projcsTransform now shifts the rest
+    * through core.Datum instead of throwing). */
   def datumIsWgs84Compatible(p: Parsed): Boolean =
-    p.a == 6378137.0 && Math.abs(es(p.a, p.rf) - wgs84Es) <= 5e-11
+    p.a == 6378137.0 && Math.abs(Datum.derivedEs(p.a, p.rf) - Datum.derivedEs(6378137.0, 298.257223563)) <= 5e-11
 
-  /** (x, y) in CRS units → (lon, lat) degrees, for the LCC / Albers /
-    * Transverse-Mercator families; None when the PROJECTION isn't one of
-    * them. Throws (loud, not wrong) when the datum would need a real
-    * shift. */
+  /** (x, y) in CRS units → (lon, lat) degrees for every PROJECTION family
+    * the reference's proj4 WKT path maps that we implement: LCC, Albers,
+    * Transverse Mercator, polar `stere` (south pole / variant B), double
+    * stereographic `sterea` (Stereographic_North_Pole / Oblique_Stereographic
+    * / Polar_Stereographic), Lambert Azimuthal Equal-Area, and Mercator
+    * (incl. the ESRI auxiliary-sphere branch). None when the PROJECTION
+    * isn't one of them (callers throw loudly — e.g. Hotine, whose WKT path
+    * is BROKEN in the live bundle: azimuth never maps to alpha, long0 stays
+    * NaN, output is NaN — a loud error beats replicating NaN). */
   def projcsTransform(prj: String): Option[(Double, Double) => (Double, Double)] =
     parse(prj).flatMap { p =>
       val name = p.projection.toLowerCase
@@ -73,13 +78,20 @@ object PrjWkt {
         name.contains("gauss_kruger")
       val isPolarStereo = name == "stereographic_south_pole" ||
         name == "polar stereographic (variant b)"
-      if (!isLcc && !isAea && !isTm && !isPolarStereo) None
+      val isSterea = name == "stereographic_north_pole" ||
+        name == "oblique_stereographic" || name == "polar_stereographic" ||
+        name == "oblique stereographic alternative"
+      val isLaea = name == "lambert_azimuthal_equal_area" ||
+        name == "lambert azimuthal equal area"
+      val isMerc = name == "mercator" || name == "mercator_1sp" ||
+        name == "mercator_auxiliary_sphere" ||
+        name == "popular visualisation pseudo mercator"
+      if (!isLcc && !isAea && !isTm && !isPolarStereo && !isSterea && !isLaea && !isMerc) None
       else {
-        require(datumIsWgs84Compatible(p),
-          s"conic CRS needs a datum shift (a=${p.a}, rf=${p.rf}) — unsupported (reference's proj4 " +
-            "would shift through geocentric; only WGS84/GRS80-compatible datums are bit-stable)")
         def deg(n: String): Option[Double] = p.params.get(n)
-        val b = (1 - 1 / p.rf) * p.a
+        val a = p.a
+        val b = (1 - 1 / p.rf) * a
+        val es = Datum.derivedEs(a, p.rf)
         val lat0 = deg("latitude_of_center").orElse(deg("latitude_of_origin"))
           .orElse(deg("standard_parallel_1")).getOrElse(0.0) * Proj.D2R
         val long0 = deg("central_meridian").orElse(deg("longitude_of_center"))
@@ -90,19 +102,38 @@ object PrjWkt {
         def lat1 = deg("standard_parallel_1").getOrElse(
           throw new IllegalArgumentException("conic .prj missing Standard_Parallel_1")) * Proj.D2R
         val inv: (Double, Double) => (Double, Double) =
-          if (isPolarStereo) Proj.PolarStereo(p.a, b, lat1, long0, x0, y0, k0).inverse
-          else if (isTm) Proj.Tmerc(p.a, b, lat0, long0, x0, y0, k0).inverse
+          if (isPolarStereo) Proj.PolarStereo(a, b, lat1, long0, x0, y0, k0).inverse
+          else if (isSterea) Proj.Sterea(a, es, lat0, long0, x0, y0, k0).inverse
+          else if (isLaea) Proj.Laea(a, es, lat0, long0, x0, y0).inverse
+          else if (isMerc) {
+            // the wkt module sets `sphere` ONLY for an exact-case
+            // Mercator_Auxiliary_Sphere PROJECTION on a wgs_1984 datum (the
+            // ESRI Web-Mercator contract); the ESRI path never maps
+            // Standard_Parallel_1 → lat_ts, so k0 = Scale_Factor or 1
+            val sphere = p.projection == "Mercator_Auxiliary_Sphere" &&
+              p.datumName.exists(Datum.isWgs1984Name)
+            Proj.Merc(a, b, long0, x0, y0, k0, sphere).inverse
+          }
+          else if (isTm) Proj.Tmerc(a, b, lat0, long0, x0, y0, k0).inverse
           else if (isLcc) {
             val lat2 = deg("standard_parallel_2").map(_ * Proj.D2R).getOrElse(Double.NaN)
-            Proj.Lcc(p.a, b, lat0, lat1, lat2, long0, x0, y0, k0).inverse
+            Proj.Lcc(a, b, lat0, lat1, lat2, long0, x0, y0, k0).inverse
           } else {
             val lat2 = deg("standard_parallel_2").getOrElse(
               throw new IllegalArgumentException("albers .prj missing Standard_Parallel_2")) * Proj.D2R
-            Proj.Aea(p.a, b, lat0, lat1, lat2, long0, x0, y0).inverse
+            Proj.Aea(a, b, lat0, lat1, lat2, long0, x0, y0).inverse
           }
+        // datum step (no-op inside the compare_datums envelope): the
+        // bundle's geocentric round-trip + optional Helmert
+        val shift = Datum.shiftToWgs84(
+          Datum.spec(p.datumName.map(Datum.datumCode).getOrElse("wgs84"), a, p.rf))
         Some { (x, y) =>
-          // proj4 transform: projected input × to_meter, inverse, rad → deg
-          val (lonR, latR) = inv(x * p.toMeter, y * p.toMeter)
+          // proj4 transform: projected input × to_meter, inverse, datum, rad → deg
+          val (lonR0, latR0) = inv(x * p.toMeter, y * p.toMeter)
+          val (lonR, latR) = shift match {
+            case Some(f) => f(lonR0, latR0)
+            case None => (lonR0, latR0)
+          }
           (lonR * Proj.R2D, latR * Proj.R2D)
         }
       }

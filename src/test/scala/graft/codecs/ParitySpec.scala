@@ -415,11 +415,11 @@ class ShpParitySpec extends AnyFunSuite {
     compare(shp, dbf, Some(tmPrj))
   }
 
-  test("fuzz: randomized LCC/Albers/TM params + coordinates, byte parity vs proj4") {
+  test("fuzz: randomized LCC/Albers/TM/sterea/LAEA/Mercator params + coordinates, byte parity vs proj4") {
     val rnd = new scala.util.Random(1234)
     def d3(x: Double): Double = Math.rint(x * 1000) / 1000 // printable params
-    (1 to 12).foreach { i =>
-      val kind = i % 3
+    (1 to 18).foreach { i =>
+      val kind = i % 6
       val cm = d3(-170 + rnd.nextDouble() * 340)
       val lat0 = d3(-60 + rnd.nextDouble() * 120)
       val sp1 = d3(lat0 + 2 + rnd.nextDouble() * 8)
@@ -439,12 +439,28 @@ class ShpParitySpec extends AnyFunSuite {
             s"""PARAMETER["Central_Meridian",$cm],PARAMETER["Standard_Parallel_1",$sp1],""" +
             s"""PARAMETER["Standard_Parallel_2",$sp2],PARAMETER["Latitude_Of_Origin",$lat0],""" +
             s"""UNIT["Meter",1.0]]"""
-        case _ =>
+        case 2 =>
           val k0 = 0.9996 + rnd.nextDouble() * 0.0004
           s"""PROJCS["Fuzz_TM_$i",$nad83Geogcs,PROJECTION["Transverse_Mercator"],""" +
             s"""PARAMETER["False_Easting",$fe],PARAMETER["False_Northing",$fn],""" +
             s"""PARAMETER["Central_Meridian",$cm],PARAMETER["Scale_Factor",$k0],""" +
             s"""PARAMETER["Latitude_Of_Origin",$lat0],UNIT["Meter",1.0]]"""
+        case 3 =>
+          val k0 = 0.9996 + rnd.nextDouble() * 0.0004
+          s"""PROJCS["Fuzz_Sterea_$i",$nad83Geogcs,PROJECTION["Oblique_Stereographic"],""" +
+            s"""PARAMETER["False_Easting",$fe],PARAMETER["False_Northing",$fn],""" +
+            s"""PARAMETER["Central_Meridian",$cm],PARAMETER["Scale_Factor",$k0],""" +
+            s"""PARAMETER["Latitude_Of_Origin",$lat0],UNIT["Meter",1.0]]"""
+        case 4 =>
+          s"""PROJCS["Fuzz_LAEA_$i",$nad83Geogcs,PROJECTION["Lambert_Azimuthal_Equal_Area"],""" +
+            s"""PARAMETER["False_Easting",$fe],PARAMETER["False_Northing",$fn],""" +
+            s"""PARAMETER["Central_Meridian",$cm],""" +
+            s"""PARAMETER["Latitude_Of_Origin",$lat0],UNIT["Meter",1.0]]"""
+        case _ =>
+          s"""PROJCS["Fuzz_Merc_$i",$nad83Geogcs,PROJECTION["Mercator"],""" +
+            s"""PARAMETER["False_Easting",$fe],PARAMETER["False_Northing",$fn],""" +
+            s"""PARAMETER["Central_Meridian",$cm],""" +
+            s"""PARAMETER["Standard_Parallel_1",$lat0],UNIT["Meter",1.0]]"""
       }
       // projected coordinates in a plausible envelope around the origin
       val pts = (0 until 25).map { _ =>
@@ -457,14 +473,16 @@ class ShpParitySpec extends AnyFunSuite {
         (pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max))
       val dbf = ShpBuilder.dbf(Seq(("ID", 'N', 3)), (0 to 25).map(j => Seq(j.toString)))
       try {
-        // Albers/TM use no general-exponent pow → byte-exact always. LCC's
-        // t^ns goes through PowCR (correctly rounded); node's Math.pow is
-        // glibc's nearly-CR pow (documented ≤0.52 ulp, measured 0.08% of
-        // calls off-by-one vs CR), so on its sub-CR inputs the reference
-        // itself is the one a ulp off; the phi2z fixed-point iteration
-        // amplifies that to a few ulps of latitude. Tolerate ≤8 ulps on ≤2
-        // coords per LCC config, byte-exact otherwise.
-        if (kind == 0) compareUlp(shp, dbf, prj, maxUlpDiffs = 2)
+        // Albers/TM/LAEA use no general-exponent pow → byte-exact always.
+        // LCC (t^ns), sterea (srat/K), and Mercator (phi2z) go through PowCR
+        // (correctly rounded); node's Math.pow is glibc's nearly-CR pow
+        // (documented ≤0.52 ulp, measured 0.08% of calls off-by-one vs CR),
+        // so on its sub-CR inputs the reference itself is the one a ulp off;
+        // the fixed-point iterations amplify that to a few ulps of latitude.
+        // Tolerate ≤8 ulps on ≤6 of the ~52 numbers per pow-bearing config
+        // (pow runs once per phi2z/gauss iteration, so a handful of tail
+        // hits per config is the expected glibc sub-CR rate).
+        if (kind == 0 || kind == 3 || kind == 5) compareUlp(shp, dbf, prj, maxUlpDiffs = 6)
         else compare(shp, dbf, Some(prj))
       } catch {
         case e: Throwable =>
@@ -530,6 +548,252 @@ class ShpParitySpec extends AnyFunSuite {
       (-2000000.0, -400000.0, 2200000.0, 1300000.25))
     val dbf = ShpBuilder.dbf(Seq(("ID", 'N', 3)), Seq(Seq("1"), Seq("2"), Seq("3"), Seq("4")))
     compare(shp, dbf, Some(albersPrj))
+  }
+
+  // ---- round-3 CRS long tail: the live bundle maps Stereographic_North_Pole,
+  // Oblique_Stereographic AND Polar_Stereographic to `sterea` (the Gaussian-
+  // sphere double stereographic, module 61) — NOT to the polar `stere`
+  // branch; these pin our from-scratch sterea/laea/merc + datum shifts
+  // byte-for-byte against the genuine proj4 path.
+
+  private def idDbf(n: Int) =
+    ShpBuilder.dbf(Seq(("ID", 'N', 3)), (1 to n).map(j => Seq(j.toString)))
+
+  test("Stereographic_North_Pole .prj (sterea, not polar stere) reprojects byte-identically") {
+    val prj =
+      s"""PROJCS["Custom_NP_Stereo",$nad83Geogcs,PROJECTION["Stereographic_North_Pole"],""" +
+        """PARAMETER["False_Easting",2000000.0],PARAMETER["False_Northing",2000000.0],""" +
+        """PARAMETER["Central_Meridian",-45.0],PARAMETER["Standard_Parallel_1",70.0],""" +
+        """UNIT["Meter",1.0]]"""
+    val shp = shpFile(Seq(
+      point(2300000.0, 1700000.0),
+      point(2000000.0, 2000000.0), // exact origin → h == 0 branch (phic0)
+      poly(3, Seq(Seq((500000.5, 300000.25), (2750000.0, 3100000.875), (4000000.0, 2000000.0))))),
+      (500000.5, 300000.25, 4000000.0, 3100000.875))
+    compare(shp, idDbf(3), Some(prj))
+  }
+
+  test("Oblique_Stereographic .prj (RD-New-style params) reprojects byte-identically") {
+    val prj =
+      s"""PROJCS["Custom_Oblique_Stereo",$nad83Geogcs,PROJECTION["Oblique_Stereographic"],""" +
+        """PARAMETER["False_Easting",155000.0],PARAMETER["False_Northing",463000.0],""" +
+        """PARAMETER["Central_Meridian",5.38763888888889],""" +
+        """PARAMETER["Scale_Factor",0.9999079],""" +
+        """PARAMETER["Latitude_Of_Origin",52.15616055555555],UNIT["Meter",1.0]]"""
+    val shp = shpFile(Seq(
+      point(200000.0, 500000.0),
+      point(0.0, 0.0),
+      poly(3, Seq(Seq((100000.125, 400000.5), (155000.0, 463000.0), (280000.0, 610000.75))))),
+      (0.0, 0.0, 280000.0, 610000.75))
+    // sterea's srat/K run general-exponent pow: PowCR is correctly rounded,
+    // glibc (V8) has a documented sub-CR tail — same ≤8-ulp tolerance as LCC
+    compareUlp(shp, idDbf(3), prj, maxUlpDiffs = 2)
+  }
+
+  test("Polar_Stereographic name quirk: proj4 maps it to OBLIQUE sterea at lat0=SP1") {
+    // a real-world Antarctic .prj using PROJECTION["Polar_Stereographic"]
+    // does NOT get the polar variant in the reference — the name is in
+    // sterea's list, so lat0 = Standard_Parallel_1 = -71 runs the Gaussian
+    // oblique path; pinned byte-for-byte
+    val prj =
+      s"""PROJCS["Quirk_Polar_Stereographic",$nad83Geogcs,PROJECTION["Polar_Stereographic"],""" +
+        """PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",166.0],PARAMETER["Standard_Parallel_1",-71.0],""" +
+        """UNIT["Meter",1.0]]"""
+    val shp = shpFile(Seq(
+      point(250000.5, -300000.25),
+      point(-750000.0, 420000.0)),
+      (-750000.0, -300000.25, 250000.5, 420000.0))
+    compareUlp(shp, idDbf(2), prj, maxUlpDiffs = 2) // sterea pow tail, as above
+  }
+
+  test("Lambert_Azimuthal_Equal_Area .prj (oblique + equatorial modes) reprojects byte-identically") {
+    val oblique =
+      s"""PROJCS["Custom_LAEA_Europe",$nad83Geogcs,PROJECTION["Lambert_Azimuthal_Equal_Area"],""" +
+        """PARAMETER["False_Easting",4321000.0],PARAMETER["False_Northing",3210000.0],""" +
+        """PARAMETER["Central_Meridian",10.0],PARAMETER["Latitude_Of_Origin",52.0],""" +
+        """UNIT["Meter",1.0]]"""
+    val shp1 = shpFile(Seq(
+      point(4500000.0, 3300000.0),
+      point(3000000.25, 2000000.125),
+      poly(3, Seq(Seq((3900000.0, 2700000.5), (4321000.0, 3210000.0), (5100000.0, 4100000.0))))),
+      (3000000.25, 2000000.125, 5100000.0, 4100000.0))
+    compare(shp1, idDbf(3), Some(oblique))
+    val equatorial =
+      s"""PROJCS["Custom_LAEA_Equatorial",$nad83Geogcs,PROJECTION["Lambert_Azimuthal_Equal_Area"],""" +
+        """PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",20.0],PARAMETER["Latitude_Of_Origin",0.0],""" +
+        """UNIT["Meter",1.0]]"""
+    val shp2 = shpFile(Seq(
+      point(1000000.0, -800000.5),
+      point(-2500000.25, 1500000.0)),
+      (-2500000.25, -800000.5, 1000000.0, 1500000.0))
+    compare(shp2, idDbf(2), Some(equatorial))
+  }
+
+  test("Mercator .prj (ellipsoidal; SP1 is NOT lat_ts in the WKT path) reprojects byte-identically") {
+    // the bundle's wkt module never maps Standard_Parallel_1 → lat_ts, so
+    // k0 stays 1 even with SP1 = 41 (verified against the live bundle) —
+    // the quirk is part of the parity contract
+    val prj =
+      s"""PROJCS["Custom_World_Mercator",$nad83Geogcs,PROJECTION["Mercator"],""" +
+        """PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",0.0],PARAMETER["Standard_Parallel_1",41.0],""" +
+        """UNIT["Meter",1.0]]"""
+    val shp = shpFile(Seq(
+      point(1113194.9079327357, 4838471.398061),
+      point(-8000000.0, -3500000.125),
+      poly(3, Seq(Seq((0.0, 0.0), (2000000.5, 6000000.0), (19000000.0, 14000000.0))))),
+      (-8000000.0, -3500000.125, 19000000.0, 14000000.0))
+    // phi2z's ((1−esinφ)/(1+esinφ))^(e/2) pow: same sub-CR tail as LCC
+    compareUlp(shp, idDbf(3), prj, maxUlpDiffs = 2)
+  }
+
+  test("Mercator_Auxiliary_Sphere .prj (D_WGS_1984 datum → sphere branch) reprojects byte-identically") {
+    // the sphere flag requires datumCode wgs_1984 — the GEOGCS name is kept
+    // clear of the /GCS_WGS_1984|WGS84/ identity regex so the reference
+    // actually runs its proj4 path on this fixture
+    val auxGeogcs =
+      """GEOGCS["GCS_Auxiliary",DATUM["D_WGS_1984",""" +
+        """SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],""" +
+        """UNIT["Degree",0.0174532925199433]]"""
+    val prj =
+      s"""PROJCS["Custom_Web_Mercator_Aux",$auxGeogcs,PROJECTION["Mercator_Auxiliary_Sphere"],""" +
+        """PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",0.0],PARAMETER["Standard_Parallel_1",0.0],""" +
+        """PARAMETER["Auxiliary_Sphere_Type",0.0],UNIT["Meter",1.0]]"""
+    val shp = shpFile(Seq(
+      point(13580977.876779376, 3503549.8435043753),
+      point(-19926188.85, -15496570.74),
+      poly(3, Seq(Seq((0.0, 0.0), (-1113194.9079327357, 6446275.841017158), (2226389.8158654715, -2273030.926987689))))),
+      (-19926188.85, -15496570.74, 13580977.876779376, 6446275.841017158))
+    compare(shp, idDbf(3), Some(prj))
+  }
+
+  test("NAD27 (Clarke 1866) .prj: ellipsoid swap through geocentric, byte-identically") {
+    // D_North_American_1927 lowercases to north_american_1927 — NOT the
+    // bundle's nad27 table key — so the reference applies no parameter
+    // shift and no grid: just geodetic→geocentric on Clarke 1866 and the
+    // iterative geocentric→geodetic on WGS84. Pinned against the live path.
+    val nad27Geogcs =
+      """GEOGCS["GCS_North_American_1927",DATUM["D_North_American_1927",""" +
+        """SPHEROID["Clarke_1866",6378206.4,294.9786982]],PRIMEM["Greenwich",0.0],""" +
+        """UNIT["Degree",0.0174532925199433]]"""
+    // Transverse Mercator uses no general-exponent pow → the datum
+    // round-trip is pinned BYTE-EXACT here (the 7-param OSGB case below
+    // covers the Helmert branch the same way)
+    val prj =
+      s"""PROJCS["NAD27_StatePlane_Style_TM",$nad27Geogcs,PROJECTION["Transverse_Mercator"],""" +
+        """PARAMETER["False_Easting",152400.30480061],PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",-85.66666666666667],PARAMETER["Scale_Factor",0.9999642857142857],""" +
+        """PARAMETER["Latitude_Of_Origin",30.5],UNIT["Meter",1.0]]"""
+    val shp = shpFile(Seq(
+      point(152400.30480061, 0.0),
+      point(60000.5, 450000.25),
+      poly(3, Seq(Seq((100000.0, 120000.125), (200000.0, 300000.0), (152400.30480061, 600000.0))))),
+      (60000.5, 0.0, 200000.0, 600000.0))
+    compare(shp, idDbf(3), Some(prj))
+    // and the LCC+datum combination with the pow-tail allowance (the datum
+    // iteration feeds every coordinate through extra rounding steps, so a
+    // couple more coords land on the tail than in the no-datum LCC fixture)
+    val lccPrj27 =
+      s"""PROJCS["NAD27_Texas_Style_LCC",$nad27Geogcs,PROJECTION["Lambert_Conformal_Conic"],""" +
+        """PARAMETER["False_Easting",600000.0],PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",-100.0],PARAMETER["Standard_Parallel_1",33.0],""" +
+        """PARAMETER["Standard_Parallel_2",45.0],PARAMETER["Latitude_Of_Origin",27.0],""" +
+        """UNIT["Meter",1.0]]"""
+    val shp2 = shpFile(Seq(
+      point(700000.0, 800000.0),
+      point(123456.78125, 1500000.5)),
+      (123456.78125, 800000.0, 700000.0, 1500000.5))
+    compareUlp(shp2, idDbf(2), lccPrj27, maxUlpDiffs = 8)
+  }
+
+  test("OSGB 1936 .prj: 7-parameter Helmert datum shift, byte-identically") {
+    // D_OSGB_1936 reaches the bundle's osgb36 towgs84 entry (7-param:
+    // translations + arc-second rotations + ppm scale) — British National
+    // Grid is the canonical real-world case
+    val osgbGeogcs =
+      """GEOGCS["GCS_OSGB_1936",DATUM["D_OSGB_1936",""" +
+        """SPHEROID["Airy_1830",6377563.396,299.3249646]],PRIMEM["Greenwich",0.0],""" +
+        """UNIT["Degree",0.0174532925199433]]"""
+    val prj =
+      s"""PROJCS["British_National_Grid",$osgbGeogcs,PROJECTION["Transverse_Mercator"],""" +
+        """PARAMETER["False_Easting",400000.0],PARAMETER["False_Northing",-100000.0],""" +
+        """PARAMETER["Central_Meridian",-2.0],PARAMETER["Scale_Factor",0.9996012717],""" +
+        """PARAMETER["Latitude_Of_Origin",49.0],UNIT["Meter",1.0]]"""
+    val shp = shpFile(Seq(
+      point(530000.0, 180000.0),   // London-ish
+      point(251000.25, 665000.5),  // Edinburgh-ish
+      poly(3, Seq(Seq((91500.0, 11250.5), (400000.0, -100000.0), (655000.0, 1200000.0))))),
+      (91500.0, -100000.0, 655000.0, 1200000.0))
+    compare(shp, idDbf(3), Some(prj))
+  }
+
+  test("Potsdam .prj: 3-parameter datum shift (Bessel Gauss-Krüger), byte-identically") {
+    val dhdnGeogcs =
+      """GEOGCS["GCS_Deutsches_Hauptdreiecksnetz",DATUM["D_Potsdam",""" +
+        """SPHEROID["Bessel_1841",6377397.155,299.1528128]],PRIMEM["Greenwich",0.0],""" +
+        """UNIT["Degree",0.0174532925199433]]"""
+    // NOTE the bundle's tmerc names are only Transverse_Mercator/tmerc —
+    // PROJECTION["Gauss_Kruger"] makes the reference THROW; our gauss_kruger
+    // support is a documented generosity divergence (pinned below)
+    val prj =
+      s"""PROJCS["DHDN_3_Degree_Gauss_Zone_4",$dhdnGeogcs,PROJECTION["Transverse_Mercator"],""" +
+        """PARAMETER["False_Easting",4500000.0],PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",12.0],PARAMETER["Scale_Factor",1.0],""" +
+        """PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]"""
+    val shp = shpFile(Seq(
+      point(4591193.0, 5819432.5),
+      point(4350000.125, 5300000.0)),
+      (4350000.125, 5300000.0, 4591193.0, 5819432.5))
+    compare(shp, idDbf(2), Some(prj))
+    // generosity divergence: we also accept the Gauss_Kruger spelling
+    assert(ShpCodec.transformFor(Some(prj.replace(
+      """PROJECTION["Transverse_Mercator"]""", """PROJECTION["Gauss_Kruger"]"""))).isDefined)
+  }
+
+  test("Hotine Oblique Mercator .prj throws loudly (the live bundle emits NaN for it)") {
+    // the bundle's WKT path never maps PARAMETER["Azimuth"] to alpha (its
+    // mapping list has ["alpha","azimuth"] but the parsed key is "Azimuth"),
+    // so omerc init leaves long0/alpha NaN and the reference's own output is
+    // NaN — verified against the live bundle. A loud error beats NaN parity.
+    val prj =
+      s"""PROJCS["NAD_1983_Michigan_GeoRef_Meters",$nad83Geogcs,""" +
+        """PROJECTION["Hotine_Oblique_Mercator_Azimuth_Natural_Origin"],""" +
+        """PARAMETER["False_Easting",2546731.496],PARAMETER["False_Northing",-4354009.816],""" +
+        """PARAMETER["Scale_Factor",0.9996],PARAMETER["Azimuth",337.25556],""" +
+        """PARAMETER["Longitude_Of_Center",-86.0],PARAMETER["Latitude_Of_Center",45.30916666666666],""" +
+        """UNIT["Meter",1.0]]"""
+    val e = intercept[UnsupportedOperationException] {
+      ShpCodec.transformFor(Some(prj))
+    }
+    assert(e.getMessage.contains("unsupported PROJECTION"))
+  }
+
+  test("WGS84-datum PROJCS divergence is pinned: we reproject, the reference does not") {
+    // the reference's identity regex /GCS_WGS_1984|WGS84/ matches INSIDE a
+    // PROJCS GEOGCS, so it emits raw projected meters as degrees for
+    // WGS84-datum UTM/State-Plane files; we reproject (documented
+    // intentional divergence — ShpCodec.transformFor)
+    val wgsGeogcs =
+      """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",""" +
+        """SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],""" +
+        """UNIT["Degree",0.0174532925199433]]"""
+    val prj =
+      s"""PROJCS["WGS_1984_UTM_Zone_17N",$wgsGeogcs,PROJECTION["Transverse_Mercator"],""" +
+        """PARAMETER["False_Easting",500000.0],PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",-81.0],PARAMETER["Scale_Factor",0.9996],""" +
+        """PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]"""
+    val shp = shpFile(Seq(point(500000.0, 4649776.22482)), (500000.0, 4649776.22482, 500000.0, 4649776.22482))
+    val dbf = idDbf(1)
+    val ours = ShpCodec.shapefile2GeojsonString(ShpCodec.ShapeInput(shp, dbf, Some(prj)))
+    val ref = RefOracle.call("shp2geojson",
+      "shpB64" -> JStr(b64(shp)), "dbfB64" -> JStr(b64(dbf)), "prj" -> JStr(prj))
+    assert(ours != ref, "divergence expected: we reproject, reference takes identity")
+    assert(ref.contains("4649776.22482"), "reference should emit the raw projected meters")
+    assert(ours.contains("\"coordinates\":[-81,"), "we should emit reprojected degrees (cm, ~42N)")
+    assert(ours.contains(",42.0") || ours.contains(",41.9"), s"expected ~42N, got: ${ours.take(200)}")
   }
 }
 
