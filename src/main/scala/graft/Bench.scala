@@ -10,13 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // session/codegen/datasource warmup outside any query's timing; queries
-    // run in name order (Map hash order put a random query first, charging
-    // it several seconds of JVM warmup run-to-run; a range-only warmup left
-    // ~2.5s of parquet-reader init on whichever query read a table first)
+    // full-path warmup outside any query's timing: one representative query
+    // (the first in name order) exercises codegen, the parquet reader, and
+    // the shuffle machinery, so q01–q03 no longer absorb several seconds of
+    // first-use costs the mid-list queries don't pay (a range-only warmup
+    // left ~2.5s of parquet/exchange init on whichever query ran first)
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      finally graft.operators.CacheTracker.releaseAll()
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       finally graft.operators.CacheTracker.releaseAll()

@@ -181,11 +181,14 @@ object XmlJson {
               if (k < n && str.charAt(k) == '=') {
                 k += 1
                 while (k < n && isWs(str.charAt(k))) k += 1
-                val q = str.charAt(k); k += 1
-                val e = str.indexOf(q, k)
-                val end = if (e < 0) n else e
-                attrs += (name -> decodeEntities(str.substring(k, end)))
-                j = end + 1
+                if (k >= n) { done = true; j = k } // truncated "<a foo=" — EOF
+                else {
+                  val q = str.charAt(k); k += 1
+                  val e = str.indexOf(q, k)
+                  val end = if (e < 0) n else e
+                  attrs += (name -> decodeEntities(str.substring(k, end)))
+                  j = end + 1
+                }
               } else {
                 attrs += (name -> "")
                 j = k
@@ -330,11 +333,14 @@ object XmlJson {
               if (k < n && str.charAt(k) == '=') {
                 k += 1
                 while (k < n && isWs(str.charAt(k))) k += 1
-                val q = str.charAt(k); k += 1
-                val e = str.indexOf(q, k)
-                val end = if (e < 0) n else e
-                el.addAttr(name, decodeEntities(str.substring(k, end)))
-                j = end + 1
+                if (k >= n) { done = true; j = k } // truncated "<a foo=" — EOF
+                else {
+                  val q = str.charAt(k); k += 1
+                  val e = str.indexOf(q, k)
+                  val end = if (e < 0) n else e
+                  el.addAttr(name, decodeEntities(str.substring(k, end)))
+                  j = end + 1
+                }
               } else if (name.isEmpty) {
                 j = k + 1 // stray '/' (not "/>") or similar: MUST advance
               } else {

@@ -275,6 +275,15 @@ object Kernels {
     val rawType = rdInt(b, off + 1, le)
     var p = off + 5
     if ((rawType & 0x20000000) != 0) p += 4 // skip SRID
+    // reject Z/M the same way Wkb.get does: rings below assume 16 bytes per
+    // point, so EWKB flag bits (0x80/0x40) or ISO type offsets (1001, 2003…)
+    // would silently misparse the coordinate stream into arbitrary answers
+    if ((rawType & 0xC0000000) != 0)
+      throw new IllegalArgumentException(
+        "wkb: EWKB Z/M geometry not supported — engine is 2-D")
+    if ((rawType & 0x0FFFFFFF) >= 1000)
+      throw new IllegalArgumentException(
+        s"wkb: ISO Z/M geometry (type ${rawType & 0x0FFFFFFF}) not supported — engine is 2-D")
     rawType & 0xFF match {
       case 3 =>
         polygonContains(b, p, le, px, py)

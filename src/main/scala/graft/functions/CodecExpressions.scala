@@ -18,23 +18,28 @@ import graft.codecs._
   * StExpressions).
   */
 
+private[functions] object Str2Str {
+  /** Malformed input → null; genuine codec bugs (NPE, arithmetic, stack
+    * overflow…) must propagate — a blanket catch made them
+    * indistinguishable from bad data in pipelines. The codecs signal
+    * malformed input with IAE (incl. NumberFormat), slice/index errors on
+    * truncated documents, and cast/match errors on structurally-invalid
+    * JSON trees (e.g. "coordinates": 7). */
+  def isMalformedInput(t: Throwable): Boolean = t match {
+    case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+         _: NoSuchElementException | _: UnsupportedOperationException |
+         _: ClassCastException | _: MatchError => true
+    case _ => false
+  }
+}
+
 private[functions] trait Str2Str extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   def convert(s: String): String
-  // malformed input → null; genuine codec bugs (NPE, match error, stack
-  // overflow…) must propagate — a blanket catch made them indistinguishable
-  // from bad data in pipelines
   override def nullSafeEval(v: Any): Any =
     try UTF8String.fromString(convert(v.asInstanceOf[UTF8String].toString))
-    catch {
-      // the codecs signal malformed input with IAE (incl. NumberFormat),
-      // slice/index errors on truncated documents, and cast/match errors on
-      // structurally-invalid JSON trees (e.g. "coordinates": 7)
-      case _: IllegalArgumentException | _: IndexOutOfBoundsException |
-           _: NoSuchElementException | _: UnsupportedOperationException |
-           _: ClassCastException | _: MatchError => null
-    }
+    catch { case t: Throwable if Str2Str.isMalformedInput(t) => null }
 }
 
 case class KmlToGeojson(child: Expression) extends Str2Str {
@@ -90,7 +95,7 @@ case class ShapefileToGeojson(shp: Expression, dbf: Expression, prj: Expression)
     else try UTF8String.fromString(ShpCodec.shapefile2GeojsonString(ShpCodec.ShapeInput(
       s.asInstanceOf[Array[Byte]], d.asInstanceOf[Array[Byte]],
       Option(p).map(_.asInstanceOf[UTF8String].toString))))
-    catch { case _: Exception => null }
+    catch { case t: Throwable if Str2Str.isMalformedInput(t) => null }
   }
   override protected def withNewChildrenInternal(f: Expression, se: Expression, t: Expression): Expression =
     copy(shp = f, dbf = se, prj = t)
@@ -105,7 +110,12 @@ case class KmzToGeojsons(child: Expression) extends UnaryExpression with Codegen
     try new GenericArrayData(
       KmzCodec.kmz2Geojsons(v.asInstanceOf[Array[Byte]])
         .map(j => UTF8String.fromString(j.render)).toArray[Any])
-    catch { case _: Exception => null }
+    catch {
+      // zip framing errors surface as ZipException/IOException — malformed
+      // bytes, not codec bugs
+      case t: Throwable if Str2Str.isMalformedInput(t) => null
+      case _: java.io.IOException => null
+    }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "kmz_to_geojsons"
 }
@@ -123,7 +133,7 @@ case class GeojsonFeatures(child: Expression) extends UnaryExpression with Codeg
         case _ => null
       }
       case _ => null
-    } catch { case _: Exception => null }
+    } catch { case t: Throwable if Str2Str.isMalformedInput(t) => null }
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "geojson_features"

@@ -114,11 +114,13 @@ object SpatialOps {
     * on the cutoff.
     *
     * Driver actions per pass: exactly one bounded job over the cached
-    * accumulator (satisfied-id set — collected into a broadcast IN-set
-    * filter when the pending population is below `collectThreshold`,
-    * anti-joined otherwise). Each superseded accumulator is unpersisted as
-    * soon as its successor is materialized; the final one is released by the
-    * caller via [[CacheTracker.releaseAll]].
+    * accumulator. The pending set shrinks MONOTONICALLY (each pass anti-joins
+    * only its newly-proven-satisfied ids — a query never re-enters pending
+    * even if a latitude-dependent guarantee is non-monotone in radius) and is
+    * persisted per pass, collapsing to a collected IN-set filter once it
+    * falls below `collectThreshold`. Each superseded accumulator/pending is
+    * unpersisted as soon as its successor is materialized; the final ones
+    * are released by the caller via [[CacheTracker.releaseAll]].
     */
   def knnJoin(
       spark: SparkSession,
@@ -193,9 +195,15 @@ object SpatialOps {
     val w = Window.partitionBy("q_id").orderBy(col("dist"), col("p_id"))
     val accCols = Seq("q_id", "q_lon", "q_lat", "q_cell", "p_id", "dist")
 
-    val totalQueries = q0.count()
-    var pendingCount = totalQueries
+    // no upfront q0.count(): the first pass's one driver action measures the
+    // pending population as a side effect. Satisfaction is tracked
+    // MONOTONICALLY — pending only ever shrinks by anti-joining the ids the
+    // CURRENT pass proves satisfied, so a non-monotone guarantee (the
+    // haversine x-bound collapses as phi* clamps to 90°) can never re-admit
+    // a query that was already proven done at a smaller radius.
+    var pendingCount = Long.MaxValue // unknown until the first pass measures it
     var pending = q0
+    var pendingPersisted: Option[DataFrame] = None // bounded-lineage pending
     var acc: Option[DataFrame] = None   // running top-k (persisted)
     var prevRadius = 0
     var radius = 1
@@ -213,40 +221,38 @@ object SpatialOps {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // satisfied (monotone in radius): k results, kth inside the guaranteed disk
+      // satisfied THIS pass: k results, kth inside the guaranteed disk
       val okIds = topk.groupBy("q_id")
         .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"), first(col("q_lat")).as("q_lat"))
         .filter(col("n") === k && col("kth") <= guarantee(radius, col("q_lat")))
         .select("q_id")
-      // collect the SMALL side into an InSet filter: the satisfied ids when
-      // the whole query set is small, the pending ids once the pending tail
-      // (known from the previous pass) has shrunk below the threshold — a
-      // huge query set stops paying count + anti-join as soon as its
-      // unsatisfied remainder is collectable
-      val nOk =
-        if (totalQueries <= collectThreshold) {
-          // one small job; materializes topk; InSet filter (no join, no plan blowup)
-          val ids = okIds.collect().map(_.get(0)).toSeq
-          pending = if (ids.isEmpty) q0 else q0.filter(!col("q_id").isInCollection(ids))
-          ids.length.toLong
-        } else if (pendingCount <= collectThreshold) {
-          val ids = q0.join(okIds, Seq("q_id"), "left_anti")
-            .select("q_id").collect().map(_.get(0)).toSeq
-          pending = if (ids.isEmpty) q0.limit(0) else q0.filter(col("q_id").isInCollection(ids))
-          totalQueries - ids.length.toLong
-        } else {
-          val n = okIds.count()
-          pending = if (n == 0) q0 else q0.join(okIds, Seq("q_id"), "left_anti")
-          n
-        }
+      val newPending = pending.join(okIds, Seq("q_id"), "left_anti")
+      // one driver action per pass: once the pending tail is provably below
+      // the threshold, collect it into an InSet filter rooted at q0 (no
+      // join in later plans); until then persist + count it, so the
+      // anti-join lineage stays one level deep instead of accumulating a
+      // recompute chain across passes
+      val supersededPending = pendingPersisted
+      if (pendingCount <= collectThreshold) {
+        val ids = newPending.select("q_id").collect().map(_.get(0)).toSeq
+        pending = if (ids.isEmpty) q0.limit(0) else q0.filter(col("q_id").isInCollection(ids))
+        pendingPersisted = None
+        pendingCount = ids.length.toLong
+      } else {
+        val p = newPending.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pendingCount = p.count()
+        pending = p
+        pendingPersisted = Some(p)
+      }
+      supersededPending.foreach(_.unpersist(false))
       acc.foreach(_.unpersist(false)) // superseded; topk is fully materialized
       acc = Some(topk)
-      pendingCount = totalQueries - nOk
       prevRadius = radius
       radius *= 2
       iter += 1
     }
     acc.foreach(CacheTracker.register)
+    pendingPersisted.foreach(CacheTracker.register) // released with the result
     val found = acc.map(_.select("q_id", "p_id", "dist", "rn"))
     // brute-force fallback for queries the ring search couldn't guarantee
     // (e.g. fewer than k points in the world) — empty in practice

@@ -124,4 +124,33 @@ class StExpressionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("cell") == CellIndex.encode(-170.0, -75.0, 10))
     assert(r.getAs[Double]("d") == GeomOps.haversine(-170.0, -75.0, 0.0, 0.0))
   }
+
+  test("codec expressions: malformed input → null, seeded internal faults propagate") {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.unsafe.types.UTF8String
+    // the narrow-catch mechanism: only the malformed-input taxonomy nulls;
+    // a genuine codec bug (NPE here) must surface, not disappear as null
+    case class SeededNpe(child: Expression) extends Str2Str {
+      override def convert(s: String): String = throw new NullPointerException("seeded codec bug")
+      override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    }
+    case class SeededMalformed(child: Expression) extends Str2Str {
+      override def convert(s: String): String = throw new IllegalArgumentException("bad doc")
+      override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    }
+    val in = UTF8String.fromString("x")
+    intercept[NullPointerException](SeededNpe(Literal("x")).nullSafeEval(in))
+    assert(SeededMalformed(Literal("x")).nullSafeEval(in) == null)
+    // the three formerly-blanket-catch expressions still null on data-level
+    // garbage (truncated shp → index error; non-zip bytes → ZipException;
+    // non-JSON text → parse IAE), through the full Spark path
+    val garbage = Array[Byte](1, 2, 3, 4, 5)
+    val row = spark.range(1).select(
+      codecs.shapefileToGeojson(lit(garbage), lit(garbage), lit(null).cast("string")).as("shp"),
+      codecs.kmzToGeojsons(lit(garbage)).as("kmz"),
+      codecs.geojsonFeatures(lit("not json at all")).as("gj")).head()
+    assert(row.isNullAt(0) && row.isNullAt(2))
+    // the kmz scanner is itself lenient: no zip entries in garbage → empty
+    assert(row.getSeq[String](1).isEmpty)
+  }
 }
