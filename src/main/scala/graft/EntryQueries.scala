@@ -608,6 +608,43 @@ object EntryQueries {
   def q26Sql: String = OracleSqlGen.q26Sql
   def q27Sql: String = OracleSqlGen.q27Sql(hexRings)
 
+  /** Manifest-level file skipping through a real query: two image batches
+    * committed into a z-ordered snapshot table, then ONE res-3 morton
+    * subtree of tiles read back through readRange — the planner lists only
+    * the files whose manifest [min,max] bucket range overlaps, and the
+    * query REQUIREs that some were skipped (holds at every SF: the subtree
+    * is one z-order block out of 8). The exact tile predicate re-applies on
+    * top of the superset scan, like every manifest prune. */
+  def q28ReadRange(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val table = java.nio.file.Files.createTempDirectory("graft_readrange").toString
+    val n = Math.min(imageCount(dir), 20000L)
+    val batches = 2
+    (0 until batches).foreach { b =>
+      val lo = n * b / batches; val hi = n * (b + 1) / batches
+      val images = ImageTable.metaDf(s, lo, hi)
+        .withColumn("lon", SpatialOps.phashLon(col("phash")))
+        .withColumn("lat", SpatialOps.phashLat(col("phash")))
+        .withColumn("tile", st.cellId(col("lon"), col("lat"), 7))
+        .select("tile", "image_id", "phash")
+      sources.SnapshotTable.commitBatch(images, table, s"b$b", "tile",
+        Seq("image_id"), numPartitions = 8, zOrderRes = 7)
+    }
+    // the res-3 cell (x=3, y=6) — contains the London hotspot — covers one
+    // contiguous morton range of res-7 descendants
+    val anchor = graft.core.CellIndex.encodeXY(3L, 6L, 3)
+    val mortonBase = (anchor & 0x03FFFFFFFFFFFFFFL) << (2 * (7 - 3))
+    val loCell = (7L << 58) | mortonBase
+    val hiCell = loCell + (1L << (2 * (7 - 3))) - 1
+    val (df, selected, total) = sources.SnapshotTable.readRange(s, table, loCell, hiCell)
+    require(selected < total,
+      s"readRange skipped no files ($selected of $total) — z-order manifest stats broken")
+    df.filter(col("tile").between(loCell, hiCell))
+      .groupBy(st.cellX(col("tile")).as("tile_x"), st.cellY(col("tile")).as("tile_y"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("phash")).as("n_phashes"))
+  }
+  def q28Sql: String = OracleSqlGen.q28Sql
+
   // ---- wiring ----
 
   val oracleQueries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -637,7 +674,8 @@ object EntryQueries {
     "q24_ann_ivf" -> (q24AnnIvf _, q24Sql),
     "q25_embed_neardup" -> (q25EmbedNearDup _, q25Sql),
     "q26_image_invariants" -> (q26ImageInvariants _, q26Sql),
-    "q27_snapshot_pipeline" -> (q27SnapshotPipeline _, q27Sql))
+    "q27_snapshot_pipeline" -> (q27SnapshotPipeline _, q27Sql),
+    "q28_read_range" -> (q28ReadRange _, q28Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

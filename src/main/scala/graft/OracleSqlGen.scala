@@ -202,6 +202,21 @@ object OracleSqlGen {
        |  COUNT(*) AS "rows"
        |FROM joined GROUP BY batch_id""".stripMargin
 
+  /** q28: manifest-range read-back — the file skipping itself is a plan
+    * property REQUIREd inside the Spark query; the data contract replayed
+    * here is the exact per-tile rollup of the res-3 subtree (x=3, y=6): a
+    * res-7 tile descends from it iff tile_x//16 = 3 and tile_y//16 = 6. */
+  def q28Sql: String =
+    s"""WITH ${ptsCtes(s"LEAST($nImagesExpr, 20000)")}
+       |SELECT
+       |  CAST(FLOOR((lon + 180.0) / 360.0 * 128.0) AS BIGINT) AS tile_x,
+       |  CAST(FLOOR((lat + 90.0) / 180.0 * 128.0) AS BIGINT) AS tile_y,
+       |  COUNT(*) AS n, COUNT(DISTINCT phash) AS n_phashes
+       |FROM pts
+       |WHERE CAST(FLOOR((lon + 180.0) / 360.0 * 128.0) AS BIGINT) // 16 = 3
+       |  AND CAST(FLOOR((lat + 90.0) / 180.0 * 128.0) AS BIGINT) // 16 = 6
+       |GROUP BY tile_x, tile_y""".stripMargin
+
   /** q26: image-invariant rollup — the expected (fmt, n, n_dims_ok=n)
     * distribution from the deterministic synthesis; any decode failure on
     * the Spark side breaks n_dims_ok and the hash compare. */
