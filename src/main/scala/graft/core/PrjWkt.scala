@@ -59,15 +59,19 @@ object PrjWkt {
   def datumIsWgs84Compatible(p: Parsed): Boolean =
     p.a == 6378137.0 && Math.abs(Datum.derivedEs(p.a, p.rf) - Datum.derivedEs(6378137.0, 298.257223563)) <= 5e-11
 
-  /** (x, y) in CRS units → (lon, lat) degrees for every PROJECTION family
-    * the reference's proj4 WKT path maps that we implement: LCC, Albers,
+  /** (x, y) in CRS units → (lon, lat) degrees for EVERY PROJECTION family
+    * the reference's proj4 WKT path can map to finite output: LCC, Albers,
     * Transverse Mercator, polar `stere` (south pole / variant B), double
     * stereographic `sterea` (Stereographic_North_Pole / Oblique_Stereographic
-    * / Polar_Stereographic), Lambert Azimuthal Equal-Area, and Mercator
-    * (incl. the ESRI auxiliary-sphere branch). None when the PROJECTION
+    * / Polar_Stereographic), Lambert Azimuthal Equal-Area, Mercator (incl.
+    * the ESRI auxiliary-sphere branch), Azimuthal Equidistant,
+    * Cassini-Soldner, Equirectangular/Equidistant Cylindrical, Equidistant
+    * Conic, Krovak, Miller Cylindrical, Mollweide, New Zealand Map Grid,
+    * Polyconic, Sinusoidal, and Van der Grinten I. None when the PROJECTION
     * isn't one of them (callers throw loudly — e.g. Hotine, whose WKT path
     * is BROKEN in the live bundle: azimuth never maps to alpha, long0 stays
-    * NaN, output is NaN — a loud error beats replicating NaN). */
+    * NaN, output is NaN — a loud error beats replicating NaN; `cea`, `gnom`,
+    * `somerc`, and proj-string-only `utm` have no WKT names in the bundle). */
   def projcsTransform(prj: String): Option[(Double, Double) => (Double, Double)] =
     parse(prj).flatMap { p =>
       val name = p.projection.toLowerCase
@@ -86,7 +90,21 @@ object PrjWkt {
       val isMerc = name == "mercator" || name == "mercator_1sp" ||
         name == "mercator_auxiliary_sphere" ||
         name == "popular visualisation pseudo mercator"
-      if (!isLcc && !isAea && !isTm && !isPolarStereo && !isSterea && !isLaea && !isMerc) None
+      val isAeqd = name == "azimuthal_equidistant"
+      val isCass = name == "cassini" || name == "cassini_soldner"
+      val isEqc = name == "equirectangular" || name == "equidistant_cylindrical"
+      val isEqdc = name == "equidistant_conic"
+      val isKrovak = name == "krovak"
+      val isMill = name == "miller_cylindrical"
+      val isMoll = name == "mollweide"
+      val isNzmg = name == "new_zealand_map_grid"
+      val isPoly = name == "polyconic"
+      val isSinu = name == "sinusoidal"
+      val isVandg = name == "van_der_grinten_i" || name == "vandergrinten"
+      val known = isLcc || isAea || isTm || isPolarStereo || isSterea || isLaea ||
+        isMerc || isAeqd || isCass || isEqc || isEqdc || isKrovak || isMill ||
+        isMoll || isNzmg || isPoly || isSinu || isVandg
+      if (!known) None
       else {
         def deg(n: String): Option[Double] = p.params.get(n)
         val a = p.a
@@ -114,6 +132,26 @@ object PrjWkt {
               p.datumName.exists(Datum.isWgs1984Name)
             Proj.Merc(a, b, long0, x0, y0, k0, sphere).inverse
           }
+          else if (isAeqd) Proj.Aeqd(a, es, lat0, long0, x0, y0).inverse
+          else if (isCass) Proj.Cass(a, es, lat0, long0, x0, y0).inverse
+          else if (isEqc) Proj.Eqc(a, lat0, long0, x0, y0).inverse
+          else if (isEqdc) {
+            val lat2 = deg("standard_parallel_2").map(_ * Proj.D2R).getOrElse(Double.NaN)
+            Proj.Eqdc(a, b, lat0, lat1, lat2, long0, x0, y0).inverse
+          }
+          else if (isKrovak) {
+            // the bundle maps Longitude_Of_Center to longc, which feeds
+            // long0 ONLY for Albers/LAEA — krovak gets its built-in Ferro
+            // default unless Central_Meridian is present (verified live)
+            val kLong0 = deg("central_meridian").getOrElse(0.0) * Proj.D2R
+            Proj.Krovak(lat0, kLong0, k0).inverse
+          }
+          else if (isMill) Proj.Mill(a, long0, x0, y0).inverse
+          else if (isMoll) Proj.Moll(a, long0, x0, y0).inverse
+          else if (isNzmg) Proj.Nzmg(a, lat0, long0, x0, y0).inverse
+          else if (isPoly) Proj.Poly(a, b, lat0, long0, x0, y0).inverse
+          else if (isSinu) Proj.Sinu(a, es, long0, x0, y0).inverse
+          else if (isVandg) Proj.Vandg(a, long0, x0, y0).inverse
           else if (isTm) Proj.Tmerc(a, b, lat0, long0, x0, y0, k0).inverse
           else if (isLcc) {
             val lat2 = deg("standard_parallel_2").map(_ * Proj.D2R).getOrElse(Double.NaN)

@@ -15,12 +15,14 @@ object RefOracle {
   def call(op: String, fields: (String, JValue)*): String = {
     val req = JObj(("op" -> (JStr(op): JValue)) +: fields.toVector).render
     val out = new StringBuilder
+    val errOut = new StringBuilder
     val io = new ProcessIO(
       in => { in.write(req.getBytes("UTF-8")); in.close() },
       outS => { out.append(new String(outS.readAllBytes(), "UTF-8")); outS.close() },
-      err => { err.readAllBytes(); err.close() })
+      err => { errOut.append(new String(err.readAllBytes(), "UTF-8")); err.close() })
     val p = Process(Seq("node", "scripts/ref_oracle.js"), new java.io.File("/root/repo")).run(io)
-    assert(p.exitValue() == 0, s"oracle failed for $op")
+    assert(p.exitValue() == 0,
+      s"oracle failed for $op: ${errOut.toString.linesIterator.take(6).mkString(" | ").take(500)}")
     out.toString
   }
   def apply(op: String, input: String): String = call(op, "input" -> JStr(input))
@@ -751,6 +753,83 @@ class ShpParitySpec extends AnyFunSuite {
     // generosity divergence: we also accept the Gauss_Kruger spelling
     assert(ShpCodec.transformFor(Some(prj.replace(
       """PROJECTION["Transverse_Mercator"]""", """PROJECTION["Gauss_Kruger"]"""))).isDefined)
+  }
+
+  test("remaining proj4-WKT-mappable families reproject byte-identically (or ≤8 ulps on pow tails)") {
+    // every family the bundle's WKT path maps that rounds 2–3 hadn't covered:
+    // aeqd, cass, eqc, eqdc, krovak (forced Bessel + S-JTSK 3-param datum),
+    // mill, moll, nzmg (NZGD49 7-param datum), poly, sinu, vandg. Fixtures
+    // marked `ulp` run general-exponent pow per point (glibc sub-CR tail).
+    val sjtskGeogcs =
+      """GEOGCS["GCS_S_JTSK",DATUM["D_S_JTSK",""" +
+        """SPHEROID["Bessel_1841",6377397.155,299.1528128]],PRIMEM["Greenwich",0.0],""" +
+        """UNIT["Degree",0.0174532925199433]]"""
+    val nzGeogcs =
+      """GEOGCS["GCS_New_Zealand_1949",DATUM["D_New_Zealand_1949",""" +
+        """SPHEROID["International_1924",6378388.0,297.0]],PRIMEM["Greenwich",0.0],""" +
+        """UNIT["Degree",0.0174532925199433]]"""
+    def projcs(name: String, geogcs: String, proj: String, params: (String, Double)*): String =
+      s"""PROJCS["$name",$geogcs,PROJECTION["$proj"],""" +
+        params.map { case (k, v) => s"""PARAMETER["$k",$v]""" }.mkString(",") +
+        """,UNIT["Meter",1.0]]"""
+    val cases: Seq[(String, String, Seq[(Double, Double)], Int)] = Seq(
+      ("aeqd", projcs("Custom_AEQD", nad83Geogcs, "Azimuthal_Equidistant",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0,
+        "Central_Meridian" -> -100.0, "Latitude_Of_Origin" -> 40.0),
+        Seq((1234567.875, -876543.25), (-2000000.0, 1500000.5), (0.0, 100000.0)), 2),
+      ("cass", projcs("Custom_Cassini", nad83Geogcs, "Cassini_Soldner",
+        "False_Easting" -> 40000.0, "False_Northing" -> 30000.0,
+        "Central_Meridian" -> -61.0, "Latitude_Of_Origin" -> 10.5),
+        Seq((45000.25, 60000.5), (-150000.0, 280000.0), (40000.0, 30000.0),
+          (120000.0, -1500000.25)), 2), // southern lat: negative tan path
+      ("eqc", projcs("Custom_Plate_Carree", nad83Geogcs, "Equidistant_Cylindrical",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0,
+        "Central_Meridian" -> 10.0, "Standard_Parallel_1" -> 30.0),
+        Seq((12000000.25, 4000000.0), (-8000000.0, -3000000.5)), 0),
+      ("eqdc", projcs("Custom_EqDC", nad83Geogcs, "Equidistant_Conic",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0,
+        "Central_Meridian" -> -96.0, "Standard_Parallel_1" -> 29.5,
+        "Standard_Parallel_2" -> 45.5, "Latitude_Of_Origin" -> 37.5),
+        Seq((-1500000.125, 800000.0), (2000000.0, -300000.75), (0.0, 0.0)), 2),
+      ("krovak", projcs("S-JTSK_Krovak_East_North", sjtskGeogcs, "Krovak",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0,
+        "Pseudo_Standard_Parallel_1" -> 78.5, "Scale_Factor" -> 0.9999,
+        "Azimuth" -> 30.28813972222222, "Longitude_Of_Center" -> 24.83333333333333,
+        "Latitude_Of_Center" -> 49.5),
+        Seq((-743000.0, -1043000.0), (-533000.5, -1150000.25), (-890000.0, -980000.0)), 6),
+      ("mill", projcs("Custom_Miller", nad83Geogcs, "Miller_Cylindrical",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> 0.0),
+        Seq((12000000.5, 7000000.25), (-15000000.0, -9000000.0)), 0),
+      ("moll", projcs("Custom_Mollweide", nad83Geogcs, "Mollweide",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> 0.0),
+        Seq((8000000.125, 4000000.5), (-12000000.0, -6000000.0)), 0),
+      ("nzmg", projcs("GD_1949_New_Zealand_Map_Grid", nzGeogcs, "New_Zealand_Map_Grid",
+        "False_Easting" -> 2510000.0, "False_Northing" -> 6023150.0,
+        "Longitude_Of_Origin" -> 173.0, "Latitude_Of_Origin" -> -41.0,
+        "Central_Meridian" -> 173.0),
+        Seq((2648403.5, 5989500.25), (2300000.0, 6500000.0), (2750000.125, 5430000.0)), 0),
+      ("poly", projcs("Custom_Polyconic", nad83Geogcs, "Polyconic",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0,
+        "Central_Meridian" -> -54.0, "Latitude_Of_Origin" -> 0.0),
+        Seq((500000.5, -2000000.25), (-1800000.0, 1500000.0), (100000.0, 5000000.0)), 2),
+      ("sinu", projcs("Custom_Sinusoidal", nad83Geogcs, "Sinusoidal",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> 0.0),
+        Seq((9000000.25, 3000000.5), (-11000000.0, -5500000.0)), 0),
+      ("vandg", projcs("Custom_VanDerGrinten", nad83Geogcs, "Van_der_Grinten_I",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> 0.0),
+        Seq((10000000.5, 6000000.25), (-14000000.0, -8000000.0)), 0))
+    cases.foreach { case (tag, prj, pts, ulps) =>
+      val shp = shpFile(pts.map { case (x, y) => point(x, y) },
+        (pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max))
+      val dbf = idDbf(pts.length)
+      try {
+        if (ulps == 0) compare(shp, dbf, Some(prj))
+        else compareUlp(shp, dbf, prj, maxUlpDiffs = ulps)
+      } catch {
+        case e: Throwable =>
+          throw new AssertionError(s"family $tag: ${e.getMessage.take(400)}", e)
+      }
+    }
   }
 
   test("Hotine Oblique Mercator .prj throws loudly (the live bundle emits NaN for it)") {

@@ -302,8 +302,11 @@ class ProjSpec extends AnyFunSuite {
     // nad27 by its proj4 TABLE key would need NADCON grids — that code is
     // unreachable from WKT names and must stay loud
     intercept[IllegalArgumentException](Datum.spec("nad27", 6378206.4, 294.9786982))
-    // non-conic projection: gate passes it along (None)
-    assert(PrjWkt.projcsTransform(prj.replace("Lambert_Conformal_Conic", "Sinusoidal")).isEmpty)
+    // round 3: Sinusoidal is now a supported family
+    assert(PrjWkt.projcsTransform(prj.replace("Lambert_Conformal_Conic", "Sinusoidal")).isDefined)
+    // a projection with no WKT name in the bundle (gnom is proj-string-only;
+    // the reference throws for such a .prj): gate passes it along (None)
+    assert(PrjWkt.projcsTransform(prj.replace("Lambert_Conformal_Conic", "Gnomonic")).isEmpty)
   }
 
   test("UTM round-trip: wgs84 -> utm -> wgs84 within 1e-8 deg") {
