@@ -38,26 +38,39 @@ object Dedup {
     * task's flatten buffer is trivially memory-safe. */
   val DefaultChunkSize = 512
 
-  /** Chunk-pair rows for bounded in-bucket pair generation: members of each
-    * `keyCols` bucket (already cap-filtered) are deterministically ordered
-    * by the `x` payload struct (id-first), split into chunks of `chunkSize`,
-    * and every chunk pair (i ≤ j) becomes ONE row carrying the two member
-    * arrays. Rows are hash-redistributed on (key, chunk_i, chunk_j) so the
-    * subsequent explode spreads across the cluster — per-task pair volume is
-    * bounded by chunkSize² independently of bucket size. Ordering by id
-    * across chunks preserves the id_a < id_b pair orientation. */
+  /** Chunk-pair rows for bounded in-bucket pair generation. `kept` must
+    * carry the bucket count `__bn` plus the `x` payload struct (id-first).
+    *
+    * Buckets at or under `chunkSize` — virtually all of them on a healthy
+    * corpus — take the original one-shuffle path: one collect_list row per
+    * bucket (cka = ckb = 0), no window, no extra exchange. Buckets above it
+    * are deterministically ordered, split into chunks of `chunkSize`, and
+    * every chunk pair (i ≤ j) becomes ONE row carrying the two member
+    * arrays, hash-redistributed on (key, chunk_i, chunk_j) so the
+    * subsequent explode spreads across the cluster — per-row and per-task
+    * pair volume is bounded by chunkSize² independently of bucket size.
+    * Ordering by id across chunks preserves the id_a < id_b orientation. */
   private[operators] def chunkPairRows(
       kept: DataFrame, keyCols: Seq[String], chunkSize: Int): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("x"))
-    val chunks = kept
+    val keyC = keyCols.map(col)
+    val small = kept.filter(col("__bn") <= chunkSize)
+      .groupBy(keyC: _*)
+      .agg(sort_array(collect_list(col("x"))).as("__xa"))
+      .select(keyC ++ Seq(lit(0).as("__cka"), lit(0).as("__ckb"), col("__xa"),
+        // intra rows never read __xb (lazy CaseWhen) — ship an empty array
+        slice(col("__xa"), 1, 0).as("__xb")): _*)
+    val w = Window.partitionBy(keyC: _*).orderBy(col("x"))
+    val chunks = kept.filter(col("__bn") > chunkSize)
       .withColumn("__ck", ((row_number().over(w) - 1).cast("long") / chunkSize).cast("int"))
-      .groupBy((keyCols.map(col) :+ col("__ck")): _*)
+      .groupBy((keyC :+ col("__ck")): _*)
       .agg(sort_array(collect_list(col("x"))).as("xs"))
-    val left = chunks.select(keyCols.map(col) ++ Seq(col("__ck").as("__cka"), col("xs").as("__xa")): _*)
-    val right = chunks.select(keyCols.map(col) ++ Seq(col("__ck").as("__ckb"), col("xs").as("__xb")): _*)
-    left.join(right, keyCols)
+    val left = chunks.select(keyC ++ Seq(col("__ck").as("__cka"), col("xs").as("__xa")): _*)
+    val right = chunks.select(keyC ++ Seq(col("__ck").as("__ckb"), col("xs").as("__xb")): _*)
+    val large = left.join(right, keyCols)
       .filter(col("__cka") <= col("__ckb"))
-      .repartition((keyCols.map(col) ++ Seq(col("__cka"), col("__ckb"))): _*)
+      .repartition((keyC ++ Seq(col("__cka"), col("__ckb"))): _*)
+      .select(keyC ++ Seq(col("__cka"), col("__ckb"), col("__xa"), col("__xb")): _*)
+    small.unionByName(large)
   }
 
   /** [[chunkPairRows]] → exploded (a, b) payload pairs, each unordered pair
@@ -213,7 +226,11 @@ object Dedup {
     // widths as equal as possible; first (64 % blocks) blocks get the extra bit
     val widths = Array.tabulate(blocks)(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    // the banded frame feeds the count histogram plus both chunk branches —
+    // persist the signatures so the text-scanning kernel runs once per doc
     val sigs = df.select(id.as("id"), simhash(text).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheTracker.register(sigs)
     val banded = sigs.select(col("id"), col("sig"), posexplode(
       array((0 until blocks).map { b =>
         val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
@@ -224,7 +241,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_dropped_buckets"))
     val kept = banded
       .join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bh"))
-      .select(col("band"), col("bh"), struct(col("id"), col("sig")).as("x"))
+      .select(col("band"), col("bh"), col("__bn"), struct(col("id"), col("sig")).as("x"))
     chunkedBucketPairs(kept, Seq("band", "bh"), chunkSize)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.sig"), col("b.sig")).cast("long").as("hamming"))
@@ -304,7 +321,7 @@ object Dedup {
     // an in-cap hot bucket costs chunkSize²-pair tasks, never one mega-row
     val kept = banded
       .join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bv"))
-      .select(col("band"), col("bv"), struct(col("id")).as("x"))
+      .select(col("band"), col("bv"), col("__bn"), struct(col("id")).as("x"))
     val cand = chunkedBucketPairs(kept, Seq("band", "bv"), chunkSize)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy("id_a", "id_b")

@@ -238,7 +238,7 @@ class DedupAnnSpec extends AnyFunSuite {
     // ≤ chunkSize members per side (≤ chunkSize² pairs per exploded row) —
     // never one row that explodes 65536²/2 ≈ 2.1e9 pairs.
     val kept = spark.range(65536).select(
-      lit(0).as("band"), lit(42L).as("bh"), struct(col("id")).as("x"))
+      lit(0).as("band"), lit(42L).as("bh"), lit(65536L).as("__bn"), struct(col("id")).as("x"))
     val rows = Dedup.chunkPairRows(kept, Seq("band", "bh"), chunkSize = 1024)
       .select(size(col("__xa")).as("na"), size(col("__xb")).as("nb"))
       .agg(count(lit(1)), max(col("na")), max(col("nb")))
