@@ -78,6 +78,18 @@ object ShpCodec {
         throw new UnsupportedOperationException(
           s"unsupported PROJECTION (reference's proj4 WKT path cannot produce " +
             s"finite output for it either, or it is unimplemented): ${p.take(80)}")))
+    case Some(p) if p.trim.startsWith("GEOGCS") =>
+      // GEOGCS-ROOT .prj (lat/lon shapefile): the bundle's wkt mapper reads
+      // the datum from a.GEOGCS.DATUM, which for a root-level GEOGCS does
+      // not exist — a/rf stay unset, deriveConstants defaults to WGS84, and
+      // the datum is silently IGNORED (verified live: NAD27/OSGB GEOGCS
+      // pass through unshifted). What remains of the proj4 longlat round
+      // trip is x·D2R·R2D per coordinate — which wobbles the last ulp
+      // (121.5654 → 121.56540000000003) and is therefore part of the
+      // byte-parity contract.
+      Some((x: Double, y: Double) =>
+        (x * graft.core.Proj.D2R * graft.core.Proj.R2D,
+          y * graft.core.Proj.D2R * graft.core.Proj.R2D))
     case Some(p) =>
       graft.core.Proj.parseUtmZone(p).map { case (zone, north) =>
         (x: Double, y: Double) => graft.core.Proj.utmToWgs84(x, y, zone, north)

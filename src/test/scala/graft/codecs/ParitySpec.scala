@@ -832,6 +832,27 @@ class ShpParitySpec extends AnyFunSuite {
     }
   }
 
+  test("GEOGCS-root .prj: datum IGNORED by the bundle, D2R·R2D wobble preserved") {
+    // the bundle's wkt mapper reads a.GEOGCS.DATUM — absent for a ROOT
+    // GEOGCS — so a lat/lon shapefile's datum silently degrades to WGS84
+    // and the only surviving transform is the longlat D2R then R2D round
+    // trip, which perturbs the last ulp of some coordinates
+    // (121.5654 → 121.56540000000003). Verified live; pinned byte-for-byte.
+    val nad27Geo =
+      """GEOGCS["GCS_North_American_1927",DATUM["D_North_American_1927",""" +
+        """SPHEROID["Clarke_1866",6378206.4,294.9786982]],PRIMEM["Greenwich",0.0],""" +
+        """UNIT["Degree",0.0174532925199433]]"""
+    val shp = shpFile(Seq(
+      point(121.5654, 25.033),   // lat wobbles: 25.033000000000005
+      point(-98.5, 39.25),       // exact through the round trip
+      poly(3, Seq(Seq((-0.1278, 51.5074), (2.3522, 48.8566), (13.405, 52.52))))),
+      (-98.5, 25.033, 121.5654, 52.52))
+    compare(shp, idDbf(3), Some(nad27Geo))
+    val ours = ShpCodec.shapefile2GeojsonString(
+      ShpCodec.ShapeInput(shp, idDbf(3), Some(nad27Geo)))
+    assert(ours.contains("25.033000000000005"), s"wobble missing: ${ours.take(160)}")
+  }
+
   test("Hotine Oblique Mercator .prj throws loudly (the live bundle emits NaN for it)") {
     // the bundle's WKT path never maps PARAMETER["Azimuth"] to alpha (its
     // mapping list has ["alpha","azimuth"] but the parsed key is "Azimuth"),
