@@ -122,4 +122,41 @@ class DxfParitySpec extends AnyFunSuite {
     assert(ours == ref)
     assert(ours.contains("-100.") || ours.contains("-99.")) // actually reprojected
   }
+
+  test("DXF with round-3 CRS (LAEA + datum-shifted Potsdam TM) reprojects byte-identically") {
+    // the new families + the Helmert datum path flow through the same
+    // shared gate the shapefile path uses — arc segment vertices make a
+    // dense surface through the LAEA inverse
+    val laeaPrj =
+      """PROJCS["Custom_LAEA_Europe",GEOGCS["GCS_North_American_1983",""" +
+        """DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],""" +
+        """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+        """PROJECTION["Lambert_Azimuthal_Equal_Area"],PARAMETER["False_Easting",4321000.0],""" +
+        """PARAMETER["False_Northing",3210000.0],PARAMETER["Central_Meridian",10.0],""" +
+        """PARAMETER["Latitude_Of_Origin",52.0],UNIT["Meter",1.0]]"""
+    val doc1 = dxf(Seq(
+      "  0", "LINE", "  8", "r", " 10", "4321000", " 20", "3210000",
+      " 11", "4500000.5", " 21", "3300000.25",
+      "  0", "ARC", "  8", "a", " 10", "4000000", " 20", "2800000", " 30", "0",
+      " 40", "25000", " 50", "45", " 51", "200").mkString("\n"))
+    val ours1 = DxfCodec.dxf2GeojsonString(doc1, Some(laeaPrj))
+    val ref1 = RefOracle.call("dxf2geojson", "input" -> graft.core.JStr(doc1),
+      "prj" -> graft.core.JStr(laeaPrj))
+    assert(ours1 == ref1)
+    val dhdnPrj =
+      """PROJCS["DHDN_GK4",GEOGCS["GCS_Deutsches_Hauptdreiecksnetz",""" +
+        """DATUM["D_Potsdam",SPHEROID["Bessel_1841",6377397.155,299.1528128]],""" +
+        """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+        """PROJECTION["Transverse_Mercator"],PARAMETER["False_Easting",4500000.0],""" +
+        """PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",12.0],""" +
+        """PARAMETER["Scale_Factor",1.0],PARAMETER["Latitude_Of_Origin",0.0],""" +
+        """UNIT["Meter",1.0]]"""
+    val doc2 = dxf(Seq(
+      "  0", "LINE", "  8", "r", " 10", "4591193", " 20", "5819432.5",
+      " 11", "4350000.125", " 21", "5300000").mkString("\n"))
+    val ours2 = DxfCodec.dxf2GeojsonString(doc2, Some(dhdnPrj))
+    val ref2 = RefOracle.call("dxf2geojson", "input" -> graft.core.JStr(doc2),
+      "prj" -> graft.core.JStr(dhdnPrj))
+    assert(ours2 == ref2)
+  }
 }
