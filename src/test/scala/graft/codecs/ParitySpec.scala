@@ -832,6 +832,41 @@ class ShpParitySpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: random SPHEROID datum swap through geocentric, byte parity vs proj4") {
+    // arbitrary ellipsoids (datum names the bundle's table misses) exercise
+    // geodetic_to_geocentric on the source ellipsoid + the 30-iteration
+    // WGS84 geodetic recovery with no Helmert params. TM carries no
+    // general-exponent pow → byte-exact end to end.
+    val rnd = new scala.util.Random(77)
+    def d3(x: Double): Double = Math.rint(x * 1000) / 1000
+    (1 to 6).foreach { i =>
+      val a = d3(6356000 + rnd.nextDouble() * 44000)
+      val rf = d3(290 + rnd.nextDouble() * 20)
+      val cm = d3(-170 + rnd.nextDouble() * 340)
+      val lat0 = d3(-60 + rnd.nextDouble() * 120)
+      val geogcs =
+        s"""GEOGCS["GCS_Fuzz_$i",DATUM["D_Fuzz_Datum_$i",""" +
+          s"""SPHEROID["Fuzz_Spheroid_$i",$a,$rf]],PRIMEM["Greenwich",0.0],""" +
+          """UNIT["Degree",0.0174532925199433]]"""
+      val prj =
+        s"""PROJCS["Fuzz_Datum_TM_$i",$geogcs,PROJECTION["Transverse_Mercator"],""" +
+          s"""PARAMETER["False_Easting",500000.0],PARAMETER["False_Northing",0.0],""" +
+          s"""PARAMETER["Central_Meridian",$cm],PARAMETER["Scale_Factor",0.9996],""" +
+          s"""PARAMETER["Latitude_Of_Origin",$lat0],UNIT["Meter",1.0]]"""
+      val pts = (0 until 8).map { _ =>
+        (500000.0 + (rnd.nextDouble() - 0.5) * 500000,
+          rnd.nextDouble() * 700000)
+      }
+      val shp = shpFile(pts.map { case (x, y) => point(x, y) },
+        (pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max))
+      try compare(shp, idDbf(8), Some(prj))
+      catch {
+        case e: Throwable =>
+          throw new AssertionError(s"datum fuzz $i a=$a rf=$rf cm=$cm lat0=$lat0: ${e.getMessage.take(300)}", e)
+      }
+    }
+  }
+
   test("GEOGCS-root .prj: datum IGNORED by the bundle, D2R·R2D wobble preserved") {
     // the bundle's wkt mapper reads a.GEOGCS.DATUM — absent for a ROOT
     // GEOGCS — so a lat/lon shapefile's datum silently degrades to WGS84
