@@ -130,7 +130,7 @@ object Dedup {
       df: DataFrame, id: Column, text: Column,
       shingleLen: Int = 4, bands: Int = 8, rowsPerBand: Int = 4,
       minBands: Int = 2, minSigFrac: Double = 0.35,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096, chunkSize: Int = DefaultChunkSize): DataFrame = {
     // the signature frame feeds the self-join twice plus the two estimate
     // joins — cache it or the per-doc MinHash runs 4x
     val sig = df.select(id.as("id"), minhash(text, shingleLen, bands * rowsPerBand).as("sig"))
@@ -148,16 +148,13 @@ object Dedup {
       .agg(count(lit(1)).as("n_dropped_buckets"))
     // bucket-and-pair instead of a self-join: one shuffle on (band, bh),
     // ids collected per bucket (sorted for determinism), pairs exploded
-    // in-bucket. Same output as the equi self-join, half the shuffles.
-    val buckets = banded
+    // in-bucket — through the bounded chunk generator, so even an at-cap
+    // bucket never materializes more than chunkSize² pairs per row/task.
+    val kept = banded
       .join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bh"))
-      .groupBy("band", "bh")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-    val pairs = buckets
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(col("band"), col("bh"), col("__bn"), struct(col("id")).as("x"))
+    val pairs = chunkedBucketPairs(kept, Seq("band", "bh"), chunkSize)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_bands_matched"))
       // pass 1: require >= minBands matching bands (cuts the false-positive
