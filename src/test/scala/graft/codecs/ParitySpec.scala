@@ -808,6 +808,22 @@ class ShpParitySpec extends AnyFunSuite {
         "Longitude_Of_Origin" -> 173.0, "Latitude_Of_Origin" -> -41.0,
         "Central_Meridian" -> 173.0),
         Seq((2648403.5, 5989500.25), (2300000.0, 6500000.0), (2750000.125, 5430000.0)), 0),
+      ("laea_npole", projcs("North_Pole_LAEA", nad83Geogcs, "Lambert_Azimuthal_Equal_Area",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0,
+        "Central_Meridian" -> 10.0, "Latitude_Of_Origin" -> 90.0),
+        Seq((500000.5, -800000.25), (-2000000.0, 1500000.0)), 0),
+      ("laea_spole", projcs("South_Pole_LAEA", nad83Geogcs, "Lambert_Azimuthal_Equal_Area",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0,
+        "Central_Meridian" -> 0.0, "Latitude_Of_Origin" -> -90.0),
+        Seq((750000.0, 1200000.5), (-400000.25, -900000.0)), 0),
+      ("aeqd_npole", projcs("North_Pole_AEQD", nad83Geogcs, "Azimuthal_Equidistant",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0,
+        "Central_Meridian" -> 0.0, "Latitude_Of_Origin" -> 90.0),
+        Seq((1000000.5, -2000000.25), (-1500000.0, 800000.0)), 0),
+      ("aeqd_spole", projcs("South_Pole_AEQD", nad83Geogcs, "Azimuthal_Equidistant",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0,
+        "Central_Meridian" -> 140.0, "Latitude_Of_Origin" -> -90.0),
+        Seq((900000.0, 1100000.125), (-600000.5, -1300000.0)), 0),
       ("poly", projcs("Custom_Polyconic", nad83Geogcs, "Polyconic",
         "False_Easting" -> 0.0, "False_Northing" -> 0.0,
         "Central_Meridian" -> -54.0, "Latitude_Of_Origin" -> 0.0),
