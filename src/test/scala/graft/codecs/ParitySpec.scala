@@ -791,6 +791,12 @@ class ShpParitySpec extends AnyFunSuite {
         "Central_Meridian" -> -96.0, "Standard_Parallel_1" -> 29.5,
         "Standard_Parallel_2" -> 45.5, "Latitude_Of_Origin" -> 37.5),
         Seq((-1500000.125, 800000.0), (2000000.0, -300000.75), (0.0, 0.0)), 2),
+      // SP2 = 0 is FALSY in the bundle (lat2 || lat1) → 1-parallel cone
+      ("eqdc_sp2_zero", projcs("Quirk_EqDC_SP2_Zero", nad83Geogcs, "Equidistant_Conic",
+        "False_Easting" -> 0.0, "False_Northing" -> 0.0,
+        "Central_Meridian" -> -96.0, "Standard_Parallel_1" -> 29.5,
+        "Standard_Parallel_2" -> 0.0, "Latitude_Of_Origin" -> 37.5),
+        Seq((-1200000.0, 700000.5), (900000.25, -200000.0)), 2),
       ("krovak", projcs("S-JTSK_Krovak_East_North", sjtskGeogcs, "Krovak",
         "False_Easting" -> 0.0, "False_Northing" -> 0.0,
         "Pseudo_Standard_Parallel_1" -> 78.5, "Scale_Factor" -> 0.9999,
