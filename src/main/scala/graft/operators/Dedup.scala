@@ -217,6 +217,18 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3, maxBucket: Int = 65536,
+      chunkSize: Int = DefaultChunkSize): DataFrame =
+    hammingPairs64(df, id, simhash(text), maxHamming, maxBucket, chunkSize)
+
+  /** Near-dup pairs at Hamming distance ≤ `maxHamming` over ANY precomputed
+    * 64-bit signature column (SimHash, image perceptual hash, …) — the
+    * pigeonhole-block engine behind [[simhashPairs]], exposed so other
+    * modalities reuse the same bounded-bucket machinery. Returns
+    * (id_a, id_b, hamming, n_dropped_buckets), id_a < id_b.
+    */
+  def hammingPairs64(
+      df: DataFrame, id: Column, sig64: Column,
+      maxHamming: Int = 3, maxBucket: Int = 65536,
       chunkSize: Int = DefaultChunkSize): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
     val blocks = maxHamming + 1
@@ -224,8 +236,8 @@ object Dedup {
     val widths = Array.tabulate(blocks)(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     // the banded frame feeds the count histogram plus both chunk branches —
-    // persist the signatures so the text-scanning kernel runs once per doc
-    val sigs = df.select(id.as("id"), simhash(text).as("sig"))
+    // persist the signatures so the signature kernel runs once per doc
+    val sigs = df.select(id.as("id"), sig64.as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheTracker.register(sigs)
     val banded = sigs.select(col("id"), col("sig"), posexplode(

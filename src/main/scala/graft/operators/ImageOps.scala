@@ -48,6 +48,103 @@ object ImageOps {
       }
   }
 
+  /** 64-bit DCT perceptual hash of a decoded image (the classic pHash
+    * construction): luminance sampled to a 32×32 grid, 2-D DCT-II, keep the
+    * low-frequency 8×8 block, threshold each coefficient against the mean
+    * of the 63 non-DC coefficients. Robust to re-encoding and resizing
+    * (pinned in ImagePhashSpec: lossless round-trip is hash-identical,
+    * JPEG / half-size variants land within a small Hamming distance while
+    * unrelated images are ~32 bits apart), so near-duplicate detection is
+    * a Hamming-ball query — fed to [[graft.operators.Dedup.hammingPairs64]]
+    * below. Deterministic: fixed sampling grid, no RNG.
+    */
+  def phash64(img: java.awt.image.BufferedImage): Long = {
+    val N = 32
+    val w = img.getWidth; val h = img.getHeight
+    // nearest-neighbor sample onto the fixed N×N grid (works for both the
+    // 8-px and 64-px corpus sizes; deterministic integer source indexing)
+    val lum = new Array[Double](N * N)
+    var dy = 0
+    while (dy < N) {
+      val sy = math.min(h - 1, dy * h / N)
+      var dx = 0
+      while (dx < N) {
+        val sx = math.min(w - 1, dx * w / N)
+        val p = img.getRGB(sx, sy)
+        lum(dy * N + dx) =
+          0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
+        dx += 1
+      }
+      dy += 1
+    }
+    // separable 2-D DCT-II, low 8×8 block only: first transform rows (8
+    // output frequencies per row), then columns — O(N²·8·2) ≈ 16k mults
+    val K = 8
+    val rowT = new Array[Double](N * K) // rowT(y*K + u) = Σ_x lum(y,x)·cos((2x+1)uπ/2N)
+    var y = 0
+    while (y < N) {
+      var u = 0
+      while (u < K) {
+        var s = 0.0; var x = 0
+        while (x < N) {
+          s += lum(y * N + x) * math.cos((2 * x + 1) * u * math.Pi / (2.0 * N))
+          x += 1
+        }
+        rowT(y * K + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](K * K)
+    var v = 0
+    while (v < K) {
+      var u = 0
+      while (u < K) {
+        var s = 0.0; var yy = 0
+        while (yy < N) {
+          s += rowT(yy * K + u) * math.cos((2 * yy + 1) * v * math.Pi / (2.0 * N))
+          yy += 1
+        }
+        coef(v * K + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    var mean = 0.0
+    var i = 1
+    while (i < K * K) { mean += coef(i); i += 1 }
+    mean /= (K * K - 1)
+    var hash = 0L
+    i = 0
+    while (i < K * K) {
+      if (coef(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Decode + perceptual-hash, one partition at a time → (image_id, phash). */
+  def phashes(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        (id, phash64(ImageTable.decode(bytes)))
+      }).toDF("image_id", "phash")
+  }
+
+  /** Image near-duplicate pairs: pixel-level perceptual hash + the bounded
+    * pigeonhole Hamming engine. One decode pass, then everything is the
+    * text-SimHash machinery (count-first bucket caps, chunked in-bucket pair
+    * generation) — the 100-TB guardrails come for free. Returns
+    * (id_a, id_b, hamming, n_dropped_buckets), id_a < id_b.
+    */
+  def imageNearDup(images: DataFrame, maxHamming: Int = 10,
+      maxBucket: Int = 65536): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Dedup.hammingPairs64(phashes(images), col("image_id"), col("phash"), maxHamming, maxBucket)
+  }
+
   /** Batched thumbnailing (real resize; per-partition iterator shape). */
   def thumbnails(images: DataFrame, tw: Int, th: Int): DataFrame = {
     val spark = images.sparkSession
