@@ -645,6 +645,35 @@ object EntryQueries {
   }
   def q28Sql: String = OracleSqlGen.q28Sql
 
+  /** Image near-duplicate pairs through the bounded pigeonhole Hamming
+    * engine. The corpus plants bit-flip variants over the SQL-replayable
+    * synthetic perceptual hash: ids come in groups of 4; 1-in-8 groups are
+    * near-dup families whose members flip 1–3 mix64-chosen bits of the
+    * base hash; everything else keeps its own hash. The oracle replays the
+    * construction and brute-forces Hamming ≤ 3 over ALL pairs — genuinely
+    * independent of the banding (recall is 100% by construction, so the
+    * engine must match exactly). In production the signature column is
+    * [[graft.operators.ImageOps.phashes]] (pixel-level DCT pHash over
+    * decoded bytes — ScalaTest-pinned, not SQL-replayable); the synthetic
+    * hash stands in here so the pairing engine is oracle-checked. */
+  def q29ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val n = Math.min(imageCount(dir), 20000L)
+    val d = col("id") % 4
+    val baseId = col("id") - d
+    def flip(j: Int): Column =
+      when(d >= j, call_function("shiftleft", lit(1L),
+        shiftrightunsigned(st.mix64(col("id") * 8 + j), 58).cast("int")))
+        .otherwise(lit(0L))
+    val dup = st.mix64(baseId).bitwiseAND(lit(7L)) === 0L
+    val vhash = when(d === 0 || !dup, st.phashFor(col("id")))
+      .otherwise(st.phashFor(baseId)
+        .bitwiseXOR(flip(1)).bitwiseXOR(flip(2)).bitwiseXOR(flip(3)))
+    val variants = ImageTable.metaDf(s, 0, n).select(col("id"), vhash.as("vhash"))
+    Dedup.hammingPairs64(variants, col("id"), col("vhash"), maxHamming = 3)
+  }
+  def q29Sql: String = OracleSqlGen.q29Sql(3)
+
   // ---- wiring ----
 
   val oracleQueries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -675,7 +704,8 @@ object EntryQueries {
     "q25_embed_neardup" -> (q25EmbedNearDup _, q25Sql),
     "q26_image_invariants" -> (q26ImageInvariants _, q26Sql),
     "q27_snapshot_pipeline" -> (q27SnapshotPipeline _, q27Sql),
-    "q28_read_range" -> (q28ReadRange _, q28Sql))
+    "q28_read_range" -> (q28ReadRange _, q28Sql),
+    "q29_image_neardup" -> (q29ImageNearDup _, q29Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

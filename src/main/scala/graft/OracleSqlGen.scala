@@ -217,6 +217,36 @@ object OracleSqlGen {
        |  AND CAST(FLOOR((lat + 90.0) / 180.0 * 128.0) AS BIGINT) // 16 = 6
        |GROUP BY tile_x, tile_y""".stripMargin
 
+  /** q29: image near-dup — replays the planted bit-flip variant corpus
+    * (groups of 4 ids; in 1-in-8 groups, member d ∈ {1,2,3} XORs d
+    * single-bit flips at mix64-chosen positions into the base id's phash)
+    * and brute-forces Hamming ≤ maxHamming over ALL pairs — independent of
+    * the engine's pigeonhole banding. */
+  def q29Sql(maxHamming: Int): String = {
+    def flip(j: Int): String =
+      s"CASE WHEN a.id % 4 >= $j THEN CAST(1 AS UBIGINT) << CAST(m.f$j >> 58 AS INTEGER) ELSE CAST(0 AS UBIGINT) END"
+    s"""WITH ${ptsCtes(s"LEAST($nImagesExpr, 20000)")},
+       |mxf AS (SELECT id,
+       |  ${mix64Cols("CAST(id * 8 + 1 AS UBIGINT)", "f1")},
+       |  ${mix64Cols("CAST(id * 8 + 2 AS UBIGINT)", "f2")},
+       |  ${mix64Cols("CAST(id * 8 + 3 AS UBIGINT)", "f3")},
+       |  ${mix64Cols("CAST(id - id % 4 AS UBIGINT)", "gm")}
+       |  FROM ids),
+       |vr AS (SELECT a.id,
+       |  CASE WHEN a.id % 4 = 0 OR (m.gm & CAST(7 AS UBIGINT)) != CAST(0 AS UBIGINT)
+       |       THEN p.phash
+       |       ELSE xor(xor(xor(b.phash, ${flip(1)}), ${flip(2)}), ${flip(3)})
+       |  END AS vhash
+       |  FROM ids a JOIN mxf m ON m.id = a.id
+       |    JOIN pts p ON p.id = a.id
+       |    JOIN pts b ON b.id = a.id - a.id % 4)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming,
+       |  CAST(0 AS BIGINT) AS n_dropped_buckets
+       |FROM vr a JOIN vr b
+       |  ON a.id < b.id AND bit_count(xor(a.vhash, b.vhash)) <= $maxHamming""".stripMargin
+  }
+
   /** q26: image-invariant rollup — the expected (fmt, n, n_dims_ok=n)
     * distribution from the deterministic synthesis; any decode failure on
     * the Spark side breaks n_dims_ok and the hash compare. */
