@@ -58,8 +58,27 @@ object ImageOps {
     * a Hamming-ball query — fed to [[graft.operators.Dedup.hammingPairs64]]
     * below. Deterministic: fixed sampling grid, no RNG.
     */
+  // cos((2x+1)·u·π/2N) for the 32-point DCT at the 8 kept frequencies —
+  // precomputed: the trig calls otherwise dominate the whole hash (~4× the
+  // decode cost; with the table the DCT is ~10k multiply-adds)
+  private val DctN = 32
+  private val DctK = 8
+  private val dctCos: Array[Double] = {
+    val t = new Array[Double](DctN * DctK)
+    var x = 0
+    while (x < DctN) {
+      var u = 0
+      while (u < DctK) {
+        t(x * DctK + u) = math.cos((2 * x + 1) * u * math.Pi / (2.0 * DctN))
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+
   def phash64(img: java.awt.image.BufferedImage): Long = {
-    val N = 32
+    val N = DctN
     val w = img.getWidth; val h = img.getHeight
     // nearest-neighbor sample onto the fixed N×N grid (works for both the
     // 8-px and 64-px corpus sizes; deterministic integer source indexing)
@@ -79,7 +98,7 @@ object ImageOps {
     }
     // separable 2-D DCT-II, low 8×8 block only: first transform rows (8
     // output frequencies per row), then columns — O(N²·8·2) ≈ 16k mults
-    val K = 8
+    val K = DctK
     val rowT = new Array[Double](N * K) // rowT(y*K + u) = Σ_x lum(y,x)·cos((2x+1)uπ/2N)
     var y = 0
     while (y < N) {
@@ -87,7 +106,7 @@ object ImageOps {
       while (u < K) {
         var s = 0.0; var x = 0
         while (x < N) {
-          s += lum(y * N + x) * math.cos((2 * x + 1) * u * math.Pi / (2.0 * N))
+          s += lum(y * N + x) * dctCos(x * K + u)
           x += 1
         }
         rowT(y * K + u) = s
@@ -102,7 +121,7 @@ object ImageOps {
       while (u < K) {
         var s = 0.0; var yy = 0
         while (yy < N) {
-          s += rowT(yy * K + u) * math.cos((2 * yy + 1) * v * math.Pi / (2.0 * N))
+          s += rowT(yy * K + u) * dctCos(yy * K + v)
           yy += 1
         }
         coef(v * K + u) = s

@@ -110,6 +110,11 @@ object ImageTable {
     bos.toByteArray
   }
 
+  // ImageIO's default file-backed stream cache serializes concurrent
+  // decodes on temp-file I/O (32 executor threads decoded no faster than
+  // 1); in-memory caching restores near-linear scaling for byte[] sources
+  ImageIO.setUseCache(false)
+
   def decode(bytes: Array[Byte]): BufferedImage =
     ImageIO.read(new ByteArrayInputStream(bytes))
 
@@ -215,5 +220,7 @@ object ImageTable {
       (b: Array[Byte], fmt: String, w: Int, h: Int) => resize(b, fmt, w, h))
     spark.udf.register("img_frames",
       (b: Array[Byte], everyN: Int, maxFrames: Int) => sampleFramesStub(b, everyN, maxFrames))
+    spark.udf.register("img_phash",
+      (b: Array[Byte]) => graft.operators.ImageOps.phash64(decode(b)))
   }
 }
