@@ -674,6 +674,21 @@ object EntryQueries {
   }
   def q29Sql: String = OracleSqlGen.q29Sql(3)
 
+  /** Deterministic integer k-means over the embeddings table: the training
+    * loop itself is the thing under test (quantized seeds, integer squared-
+    * L2 assignment, floor-mean centroid updates — all exact integers, so
+    * the DuckDB oracle replays the whole iteration chain bit-for-bit).
+    * Output = per-cluster membership + total distortion after the final
+    * assignment. The trained codebook powers [[Ann.ivfKmeansTopK]]
+    * (data-adapted IVF; recall vs brute pinned in OperatorsSpec). */
+  def q30Kmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.kmeansAssign(emb, col("vec_id"), col("embedding"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("sum_dist"))
+  }
+  def q30Sql: String = OracleSqlGen.q30Sql(8, 2, 64)
+
   // ---- wiring ----
 
   val oracleQueries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -705,7 +720,8 @@ object EntryQueries {
     "q26_image_invariants" -> (q26ImageInvariants _, q26Sql),
     "q27_snapshot_pipeline" -> (q27SnapshotPipeline _, q27Sql),
     "q28_read_range" -> (q28ReadRange _, q28Sql),
-    "q29_image_neardup" -> (q29ImageNearDup _, q29Sql))
+    "q29_image_neardup" -> (q29ImageNearDup _, q29Sql),
+    "q30_kmeans" -> (q30Kmeans _, q30Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

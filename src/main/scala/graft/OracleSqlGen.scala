@@ -247,6 +247,47 @@ object OracleSqlGen {
        |  ON a.id < b.id AND bit_count(xor(a.vhash, b.vhash)) <= $maxHamming""".stripMargin
   }
 
+  /** q30: full replay of the deterministic integer k-means training loop
+    * (Ann.kmeansAssign): quantize to round(x·1000), seed with the k rows of
+    * smallest mix64(vec_id) (UBIGINT order == Spark's sign-flipped order),
+    * then `iters` Lloyd's rounds — integer squared-L2 assignment (ties to
+    * the lowest cluster), element-wise floor-divided integer means (empty
+    * clusters keep the previous centroid) — and a final assignment rollup.
+    * Every quantity is an exact integer, so the chained-CTE replay is
+    * bit-identical to the Spark loop. */
+  def q30Sql(k: Int, iters: Int, dims: Int): String = {
+    def qd(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT)"
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (SELECT vec_id, q, cluster, dist FROM (
+         |  SELECT vec_id, q, cluster, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+         |  FROM (SELECT v.vec_id, v.q, c.cluster, ${qd("v.q", "c.q")} AS dist
+         |        FROM qv v CROSS JOIN $cents c)) WHERE rk = 1)""".stripMargin
+    def updateCte(prev: String, asg: String, name: String): String =
+      s"""$name AS (SELECT p.cluster, COALESCE(u.qq, p.q) AS q
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cluster, list(cv ORDER BY dim) AS qq FROM (
+         |      SELECT cluster, dim, (s - ((s % n + n) % n)) // n AS cv FROM (
+         |        SELECT a.cluster, g.i AS dim, SUM(a.q[g.i]) AS s, COUNT(*) AS n
+         |        FROM $asg a, generate_series(1, $dims) AS g(i)
+         |        GROUP BY a.cluster, g.i))
+         |    GROUP BY cluster) u ON u.cluster = p.cluster)""".stripMargin
+    val rounds = (1 to iters).map(t => assignCte(s"a$t", s"c${t - 1}") + ",\n" +
+      updateCte(s"c${t - 1}", s"a$t", s"c$t")).mkString(",\n")
+    s"""WITH qv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |mx AS (SELECT vec_id, ${mix64Cols("CAST(vec_id AS UBIGINT)", "m")} FROM embeddings),
+       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY x.m) - 1 AS cluster, v.q
+       |       FROM (SELECT vec_id, m FROM mx ORDER BY m LIMIT $k) x
+       |       JOIN qv v ON v.vec_id = x.vec_id),
+       |$rounds,
+       |${assignCte("afin", s"c$iters")}
+       |SELECT cluster, COUNT(*) AS n_members, CAST(SUM(dist) AS BIGINT) AS sum_dist
+       |FROM afin GROUP BY cluster""".stripMargin
+  }
+
   /** q26: image-invariant rollup — the expected (fmt, n, n_dims_ok=n)
     * distribution from the deterministic synthesis; any decode failure on
     * the Spark side breaks n_dims_ok and the hash compare. */

@@ -58,6 +58,123 @@ object Ann {
   def hyperplaneSig(emb: Column, planes: Int): Column =
     graft.functions.st.hyperplaneSig(emb, planes)
 
+  /** Integer-quantized vector: q(x) = round(x·1000) as long. */
+  private def quantize(emb: Column, scale: Int): Column =
+    transform(emb, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Squared L2 distance between a quantized vector column and a centroid
+    * literal — exact integer arithmetic (≤ (2·scale)²·dims per row, far from
+    * overflow at embedding scale). */
+  private def qDist(q: Column, centroid: Array[Long]): Column = {
+    val c = array(centroid.map(lit): _*)
+    aggregate(zip_with(q, c, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Floor division of exact integer sums (both engines replicate:
+    * (s − pmod(s, n)) is divisible by n, and |s| ≪ 2⁵³ keeps the double
+    * intermediate exact). */
+  private def fdiv(s: Column, n: Column): Column =
+    ((s - pmod(s, n)) / n).cast("long")
+
+  /** Deterministic integer-quantized Lloyd's k-means over an embedding
+    * column. Seeds = the k rows with the smallest mix64(id) (a bijection —
+    * no ties), ordered; each iteration assigns every vector to its nearest
+    * centroid (exact integer squared-L2, ties to the lowest cluster index)
+    * and recomputes centroids as the element-wise FLOOR-divided integer
+    * mean (empty clusters keep their previous centroid). Integer sums are
+    * associative, so the result is bit-identical across partitionings and
+    * engines — the property that makes the training loop DuckDB-replayable
+    * (q30), unlike float k-means whose sums are order-dependent.
+    *
+    * Spark shape: the standard Lloyd's plan — centroids live on the driver
+    * (k·dims longs), each pass is one broadcast-free map over the corpus +
+    * one partial-aggregated shuffle on (cluster, dim); the corpus'
+    * quantized form is persisted once across the iters+1 passes.
+    */
+  def kmeansAssign(
+      df: DataFrame, id: Column, emb: Column,
+      k: Int = 8, iters: Int = 2, scale: Int = 1000): DataFrame = {
+    val (qv, centroids) = trainCentroids(df, id, emb, k, iters, scale)
+    assignPass(qv, centroids)
+  }
+
+  /** The training loop behind [[kmeansAssign]] / [[ivfKmeansTopK]]: returns
+    * the persisted quantized corpus and the final centroid matrix. */
+  private[operators] def trainCentroids(
+      df: DataFrame, id: Column, emb: Column,
+      k: Int, iters: Int, scale: Int): (DataFrame, Array[Array[Long]]) = {
+    val qv = df.select(id.as("id"), quantize(emb, scale).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheTracker.register(qv)
+    // seed selection: unsigned mix64 order == DuckDB's UBIGINT order via the
+    // sign-bit flip (Spark sorts signed longs)
+    val seeds = qv
+      .withColumn("m", graft.functions.st.mix64(col("id")).bitwiseXOR(lit(Long.MinValue)))
+      .orderBy("m").limit(k)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    var centroids = seeds
+    var it = 0
+    while (it < iters) {
+      val updated = assignPass(qv, centroids)
+        .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", fdiv(col("s"), col("n")))
+        .groupBy("cluster")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("cv")))),
+          p => p.getField("cv")).as("c"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray)
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, j) => updated.getOrElse(j, old) }
+      it += 1
+    }
+    (qv, centroids)
+  }
+
+  /** One assignment pass: (id, q, cluster, dist) vs centroid literals. */
+  private def assignPass(qv: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
+    val dists = array(centroids.map(c => qDist(col("q"), c)): _*)
+    qv.withColumn("__d", dists)
+      .withColumn("dist", array_min(col("__d")))
+      // first index of the min == lowest cluster on ties (both engines)
+      .withColumn("cluster", expr("array_position(__d, array_min(__d))").cast("long") - 1)
+      .drop("__d")
+  }
+
+  /** IVF with k-means coarse quantizer: corpus bucketed by trained cluster;
+    * each query probes its `probes` nearest centroids and scores exactly
+    * (quantized dot) inside them. The data-adapted codebook replaces the
+    * fixed hyperplane prefix of [[ivfTopK]] — bucket occupancy tracks the
+    * corpus distribution, so nBuckets can grow with corpus size without the
+    * empty/overfull-bucket pathology of data-oblivious hashing. Recall vs
+    * [[bruteTopK]] is pinned in OperatorsSpec. */
+  def ivfKmeansTopK(
+      corpus: DataFrame, id: Column, emb: Column,
+      queries: DataFrame, qId: Column, qEmb: Column,
+      k: Int, kClusters: Int = 8, iters: Int = 2, probes: Int = 3,
+      scale: Int = 1000): DataFrame = {
+    val (qv, centroids) = trainCentroids(corpus, id, emb, kClusters, iters, scale)
+    val c = corpus.select(id.as("id"), emb.as("emb"))
+      .join(assignPass(qv, centroids).select(col("id"), col("cluster").as("bucket")), "id")
+    val q0 = queries.select(qId.as("q_id"), qEmb.as("q_emb"),
+      quantize(qEmb, scale).as("q"))
+    val qDists = array(centroids.map(cc => qDist(col("q"), cc)): _*)
+    val probed = q0.withColumn("__d", qDists)
+      .select(col("q_id"), col("q_emb"), posexplode(col("__d")).as(Seq("bucket", "cd")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cd"), col("bucket"))))
+      .filter(col("rk") <= probes)
+      .select(col("q_id"), col("q_emb"), col("bucket").cast("long").as("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
+    c.join(broadcast(probed), "bucket")
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("score", quantizedDot(col("emb"), col("q_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "id", "score", "rank")
+  }
+
   /** IVF-style ANN: corpus pre-assigned to `nBuckets` coarse buckets by
     * hyperplane-sig prefix; each query scores only its own bucket. Recall
     * grows with `probes` (multi-probe = flip low bits). Exact within bucket.

@@ -300,6 +300,35 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall")
     assert(ivf.subsetOf(ivf)) // sanity
   }
+
+  test("kmeans assignment is bit-identical across partitionings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(parts: Int) = {
+      val r = Ann.kmeansAssign(emb.repartition(parts), col("vec_id"), col("embedding"))
+        .select("id", "cluster", "dist").as[(Long, Long, Long)].collect().toSet
+      CacheTracker.releaseAll()
+      r
+    }
+    val a = run(3); val b = run(17)
+    assert(a == b, "integer k-means must not depend on the partitioning")
+    val byCluster = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byCluster.size >= 5, s"degenerate clustering: $byCluster")
+    assert(byCluster.values.sum == 500)
+  }
+
+  test("ivf kmeans ANN: recall vs brute at probes=3 of 8 buckets") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Ann.bruteTopK(emb, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"), 10)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfKmeansTopK(emb, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"), 10)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    CacheTracker.releaseAll()
+    val recall = (brute & ivf).size.toDouble / brute.size
+    println(s"PROBE kmeans-ivf recall=$recall (${(brute & ivf).size}/${brute.size})")
+    assert(recall >= 0.4, s"recall $recall")
+    assert(ivf.forall { case (qid, id) => qid != id })
+  }
 }
 
 class ImageTableSpec extends AnyFunSuite {
