@@ -96,6 +96,22 @@ object Dedup {
       .drop("__h")
   }
 
+  /** Streaming exact dedup-on-ingest: drop any row whose content hash was
+    * already seen within the watermark horizon. State is keyed by the
+    * 128-bit content hash and BOUNDED by event time
+    * (`dropDuplicatesWithinWatermark`) — the scale requirement for a
+    * continuously-ingesting 100-TB pipeline, where a plain streaming
+    * `dropDuplicates` accumulates unbounded state. First-seen row wins
+    * (per-key earliest arrival within the horizon).
+    */
+  def exactStreaming(
+      df: DataFrame, content: Column,
+      eventTime: String, watermark: String): DataFrame =
+    df.withColumn("__content_h", md5(content.cast("binary")))
+      .withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark("__content_h")
+      .drop("__content_h")
+
   /** Character shingles of length n → array column (lowercased). */
   def shingles(text: Column, n: Int): Column = {
     // sliding n-grams via sequence + substring: codegen'd builtins only

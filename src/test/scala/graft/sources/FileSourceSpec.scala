@@ -112,6 +112,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup-on-ingest: watermark-bounded exact dedup drops replayed content") {
+    import org.apache.spark.sql.streaming.Trigger
+    // two micro-batch files; file b replays half of file a's texts (same
+    // content, later event time) plus fresh ones
+    val mk = (id: Long, text: String, h: Int) =>
+      (id, text, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"))
+    val a = (0L until 40L).map(i => mk(i, s"doc content ${i % 20}", 1)) // 20 dups inside a
+    val b = (100L until 140L).map(i => mk(i, s"doc content ${i % 40}", 2)) // 20 replays + 20 fresh
+    val dir = Files.createTempDirectory("graft_dedup_stream")
+    import spark.implicits._
+    a.toDF("id", "text", "ts").coalesce(1).write.parquet(dir.resolve("a").toString)
+    b.toDF("id", "text", "ts").coalesce(1).write.parquet(dir.resolve("b").toString)
+    val schema = spark.read.parquet(dir.resolve("a").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*")
+    val deduped = graft.operators.Dedup.exactStreaming(
+      stream, col("text"), "ts", "10 hours")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("graft_dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.sql("SELECT text FROM graft_dedup_out")
+      .collect().map(_.getString(0))
+    // 40 distinct texts total ("doc content 0".."doc content 39"); every
+    // duplicate (in-batch and replayed-across-batch within the watermark
+    // horizon) dropped
+    assert(out.length == out.distinct.length, "emitted duplicate content")
+    assert(out.distinct.sorted.toSeq == (0 until 40).map(i => s"doc content $i").sorted)
+  }
+
   test("streaming ingest -> foreachBatch -> snapshot table == batch pipeline") {
     // the SURVEY §2.10 design claim end to end: a file-source stream runs
     // through the same tile-assign kernel and commits each micro-batch to
