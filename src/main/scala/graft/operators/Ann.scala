@@ -154,9 +154,12 @@ object Ann {
       queries: DataFrame, qId: Column, qEmb: Column,
       k: Int, kClusters: Int = 8, iters: Int = 2, probes: Int = 3,
       scale: Int = 1000): DataFrame = {
-    val (qv, centroids) = trainCentroids(corpus, id, emb, kClusters, iters, scale)
-    val c = corpus.select(id.as("id"), emb.as("emb"))
-      .join(assignPass(qv, centroids).select(col("id"), col("cluster").as("bucket")), "id")
+    val (_, centroids) = trainCentroids(corpus, id, emb, kClusters, iters, scale)
+    // assignment recomputed inline over the corpus scan (one pass, no join
+    // back to the training cache — the quantize+distance map is codegen'd)
+    val c = assignPass(
+        corpus.select(id.as("id"), emb.as("emb"), quantize(emb, scale).as("q")), centroids)
+      .select(col("id"), col("emb"), col("cluster").as("bucket"))
     val q0 = queries.select(qId.as("q_id"), qEmb.as("q_emb"),
       quantize(qEmb, scale).as("q"))
     val qDists = array(centroids.map(cc => qDist(col("q"), cc)): _*)
