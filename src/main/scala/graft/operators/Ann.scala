@@ -28,10 +28,9 @@ object Ann {
     * bit-identical across engines and partitionings (the oracle-checkable
     * similarity; float sums are order-dependent, integer sums are not).
     */
-  def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column = {
-    def q(c: Column): Column = transform(c, x => round(x.cast("double") * scale).cast("long"))
-    aggregate(zip_with(q(a), q(b), (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-  }
+  def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column =
+    aggregate(zip_with(quantize(a, scale), quantize(b, scale), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
 
   /** Brute-force top-k by quantized dot product (deterministic; ties broken
     * by id). Query vectors broadcast; corpus scanned once, no shuffle except
@@ -58,8 +57,11 @@ object Ann {
   def hyperplaneSig(emb: Column, planes: Int): Column =
     graft.functions.st.hyperplaneSig(emb, planes)
 
-  /** Integer-quantized vector: q(x) = round(x·1000) as long. */
-  private def quantize(emb: Column, scale: Int): Column =
+  /** Integer-quantized vector: q(x) = round(x·scale) as long — the ONE
+    * definition of the quantization whose Spark-half-up / DuckDB-ROUND bit
+    * parity the oracles depend on (quantizedDot and the dedup operators
+    * call this; do not re-inline the lambda). */
+  private[operators] def quantize(emb: Column, scale: Int): Column =
     transform(emb, x => round(x.cast("double") * scale).cast("long"))
 
   /** Squared L2 distance between a quantized vector column and a centroid
@@ -154,7 +156,10 @@ object Ann {
       queries: DataFrame, qId: Column, qEmb: Column,
       k: Int, kClusters: Int = 8, iters: Int = 2, probes: Int = 3,
       scale: Int = 1000): DataFrame = {
-    val (_, centroids) = trainCentroids(corpus, id, emb, kClusters, iters, scale)
+    val (qv, centroids) = trainCentroids(corpus, id, emb, kClusters, iters, scale)
+    // centroids are on the driver now — the corpus-sized training cache has
+    // no further reader, release it before building the search plan
+    qv.unpersist()
     // assignment recomputed inline over the corpus scan (one pass, no join
     // back to the training cache — the quantize+distance map is codegen'd)
     val c = assignPass(

@@ -303,7 +303,7 @@ object Dedup {
       planes: Int = 64, bands: Int = 4,
       cos2Num: Long = 361L, cos2Den: Long = 400L,
       maxBucket: Int = 65536, chunkSize: Int = DefaultChunkSize): DataFrame = {
-    val qa = (c: Column) => transform(c, x => round(x.cast("double") * 1000).cast("long"))
+    val qa = (c: Column) => Ann.quantize(c, 1000)
     val nq = (c: Column) => aggregate(qa(c), lit(0L), (acc, v) => acc + v * v)
     // the squared cross-multiply runs in DECIMAL: long builtin arithmetic
     // throws under ANSI on overflow (dot_q² · den exceeds 2^63 already for
