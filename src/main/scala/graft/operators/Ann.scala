@@ -105,6 +105,8 @@ object Ann {
   private[operators] def trainCentroids(
       df: DataFrame, id: Column, emb: Column,
       k: Int, iters: Int, scale: Int): (DataFrame, Array[Array[Long]]) = {
+    require(k >= 1 && iters >= 0 && scale >= 1,
+      s"kmeans: k ($k) and scale ($scale) must be >= 1, iters ($iters) >= 0")
     val qv = df.select(id.as("id"), quantize(emb, scale).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheTracker.register(qv)
@@ -114,6 +116,8 @@ object Ann {
       .withColumn("m", graft.functions.st.mix64(col("id")).bitwiseXOR(lit(Long.MinValue)))
       .orderBy("m").limit(k)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
+    // fewer rows than k just trains a smaller codebook; empty is an error
+    require(seeds.nonEmpty, "kmeans: empty corpus")
     var centroids = seeds
     var it = 0
     while (it < iters) {
