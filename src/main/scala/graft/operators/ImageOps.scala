@@ -26,8 +26,9 @@ object ImageOps {
     import spark.implicits._
     images.select("image_id", "bytes", "fmt").as[(String, Array[Byte], String)]
       .mapPartitions { it =>
+        val dec = new ImageTable.ReusableDecoder
         it.map { case (id, bytes, fmt) =>
-          val img = ImageTable.decode(bytes)
+          val img = dec.decode(bytes)
           val w = img.getWidth; val h = img.getHeight
           var r = 0L; var g = 0L; var b = 0L
           var y = 0
@@ -147,9 +148,10 @@ object ImageOps {
     val spark = images.sparkSession
     import spark.implicits._
     images.select("image_id", "bytes").as[(String, Array[Byte])]
-      .mapPartitions(it => it.map { case (id, bytes) =>
-        (id, phash64(ImageTable.decode(bytes)))
-      }).toDF("image_id", "phash")
+      .mapPartitions { it =>
+        val dec = new ImageTable.ReusableDecoder
+        it.map { case (id, bytes) => (id, phash64(dec.decode(bytes))) }
+      }.toDF("image_id", "phash")
   }
 
   /** Image near-duplicate pairs: pixel-level perceptual hash + the bounded

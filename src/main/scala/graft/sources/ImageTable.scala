@@ -118,6 +118,36 @@ object ImageTable {
   def decode(bytes: Array[Byte]): BufferedImage =
     ImageIO.read(new ByteArrayInputStream(bytes))
 
+  /** Reusable decoder for batch (mapPartitions) pipelines: sniffs the
+    * PNG/JPEG magic and reuses one cached ImageReader per format —
+    * `ImageIO.read` performs a service-registry scan and allocates a fresh
+    * reader + stream per call, which both costs ~tens of µs and contends
+    * across decode threads. One instance per partition, NOT thread-safe.
+    * Unknown formats fall back to [[decode]]. */
+  final class ReusableDecoder {
+    private var png: javax.imageio.ImageReader = _
+    private var jpg: javax.imageio.ImageReader = _
+    def decode(bytes: Array[Byte]): BufferedImage = {
+      val isPng = bytes.length > 8 && (bytes(0) & 0xFF) == 0x89 &&
+        bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte
+      val isJpg = !isPng && bytes.length > 2 &&
+        (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8
+      if (!isPng && !isJpg) return ImageTable.decode(bytes)
+      val r =
+        if (isPng) {
+          if (png == null) png = ImageIO.getImageReadersByFormatName("png").next()
+          png
+        } else {
+          if (jpg == null) jpg = ImageIO.getImageReadersByFormatName("jpeg").next()
+          jpg
+        }
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
+      try { r.setInput(iis, true, true); r.read(0) }
+      finally iis.close()
+    }
+  }
+
   /** PSNR in dB between two images (decoded pixels, RGB); 99.0 if identical. */
   def psnr(a: Array[Byte], b: Array[Byte]): Double = {
     val ia = decode(a); val ib = decode(b)

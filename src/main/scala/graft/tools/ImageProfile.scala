@@ -15,9 +15,11 @@ object ImageProfile {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 20000
     val cpus = if (args.length > 1) args(1).toInt else 32
+    val sparkOnly = args.length > 2 && args(2) == "spark"
 
     // single-thread: decode + phash64 over pre-synthesized bytes
-    val rows = (0 until n).map(i => ImageTable.rowFor(i.toLong)).toArray
+    val rows = if (sparkOnly) Array.empty[graft.sources.ImageTable.ImageRow]
+      else (0 until n).map(i => ImageTable.rowFor(i.toLong)).toArray
     def time1(name: String, reps: Int)(f: => Long): Unit = {
       var r = f // warmup
       val t0 = System.nanoTime()
@@ -25,6 +27,7 @@ object ImageProfile {
       val s = (System.nanoTime() - t0) / 1e9 / reps
       println(f"[img] $name: $s%.3f s (${n / s}%.0f imgs/s) [$r]")
     }
+    if (!sparkOnly) {
     time1("decode only", 3) {
       var s = 0L; rows.foreach(r => s += ImageTable.decode(r.bytes).getWidth); s
     }
@@ -44,6 +47,7 @@ object ImageProfile {
         s += acc
       }
       s
+    }
     }
 
     // Spark path: synthesize → phashes (mapPartitions batch shape)
