@@ -569,11 +569,19 @@ object EntryQueries {
     * synthesis formula, so any decode regression breaks the hash match. */
   def q26ImageInvariants(s: SparkSession, dir: String): DataFrame = {
     ensureRegistered(s)
+    import s.implicits._
     val n = Math.min(imageCount(dir), 2000L)
+    // one batched decode per row (the img_width/img_height UDF pair decoded
+    // every image twice); per-partition reusable decoder
     ImageTable.synthesize(s, n).toDF()
-      .withColumn("dec_w", call_udf("img_width", col("bytes")))
-      .withColumn("dec_h", call_udf("img_height", col("bytes")))
-      .withColumn("ok_dims", col("dec_w") === col("w") && col("dec_h") === col("h"))
+      .select("fmt", "bytes", "w", "h").as[(String, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        val dec = new ImageTable.ReusableDecoder
+        it.map { case (fmt, bytes, w, h) =>
+          val img = dec.decode(bytes)
+          (fmt, img.getWidth == w && img.getHeight == h)
+        }
+      }.toDF("fmt", "ok_dims")
       .groupBy(col("fmt"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("ok_dims"), 1L).otherwise(0L)).as("n_dims_ok"))
