@@ -172,8 +172,9 @@ object ImageOps {
     import spark.implicits._
     images.select("image_id", "bytes", "fmt").as[(String, Array[Byte], String)]
       .mapPartitions { it =>
+        val dec = new ImageTable.ReusableDecoder
         it.map { case (id, bytes, fmt) =>
-          (id, ImageTable.resize(bytes, fmt, tw, th), fmt)
+          (id, ImageTable.resizeImg(dec.decode(bytes), fmt, tw, th), fmt)
         }
       }.toDF("image_id", "thumb", "fmt")
   }

@@ -176,8 +176,12 @@ object ImageTable {
 
   /** Deterministic area-average resize (real, Graphics2D-free for
     * reproducibility across JVMs). */
-  def resize(bytes: Array[Byte], fmt: String, nw: Int, nh: Int): Array[Byte] = {
-    val src = decode(bytes)
+  def resize(bytes: Array[Byte], fmt: String, nw: Int, nh: Int): Array[Byte] =
+    resizeImg(decode(bytes), fmt, nw, nh)
+
+  /** [[resize]] over an already-decoded image (batch pipelines decode once
+    * via [[ReusableDecoder]] and resize off the same buffer). */
+  def resizeImg(src: BufferedImage, fmt: String, nw: Int, nh: Int): Array[Byte] = {
     val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < nh) {
