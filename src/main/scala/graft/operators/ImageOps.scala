@@ -19,16 +19,27 @@ object ImageOps {
       mean_r: Double, mean_g: Double, mean_b: Double,
       brightness: Double, aspect: Double)
 
+  /** Decode with the malformed-input policy of the codecs: undecodable
+    * bytes (unrecognized format → ImageIO's null; truncated/corrupt stream
+    * → IIOException) yield null and the row is SKIPPED by the batch
+    * operators — a 100-TB corpus always contains corrupt rows and one must
+    * not kill the job. Internal bugs (NPE etc.) stay loud. */
+  private def tryDecode(dec: ImageTable.ReusableDecoder,
+      bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try dec.decode(bytes) catch { case _: java.io.IOException => null }
+
   /** Decode + feature-extract, one partition at a time (batch shape:
-    * Iterator[Row] → Iterator[ImageFeatures]; decoder state amortized). */
+    * Iterator[Row] → Iterator[ImageFeatures]; decoder state amortized).
+    * Undecodable rows are skipped. */
   def extractFeatures(images: DataFrame): Dataset[ImageFeatures] = {
     val spark = images.sparkSession
     import spark.implicits._
     images.select("image_id", "bytes", "fmt").as[(String, Array[Byte], String)]
       .mapPartitions { it =>
         val dec = new ImageTable.ReusableDecoder
-        it.map { case (id, bytes, fmt) =>
-          val img = dec.decode(bytes)
+        it.flatMap { case (id, bytes, fmt) =>
+          val img = tryDecode(dec, bytes)
+          if (img == null) None else Some {
           val w = img.getWidth; val h = img.getHeight
           var r = 0L; var g = 0L; var b = 0L
           var y = 0
@@ -45,6 +56,7 @@ object ImageOps {
           val mr = r / n; val mg = g / n; val mb = b / n
           ImageFeatures(id, w, h, fmt, mr, mg, mb,
             0.299 * mr + 0.587 * mg + 0.114 * mb, w.toDouble / h)
+          }
         }
       }
   }
@@ -143,14 +155,18 @@ object ImageOps {
     hash
   }
 
-  /** Decode + perceptual-hash, one partition at a time → (image_id, phash). */
+  /** Decode + perceptual-hash, one partition at a time → (image_id, phash).
+    * Undecodable rows are skipped. */
   def phashes(images: DataFrame): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
     images.select("image_id", "bytes").as[(String, Array[Byte])]
       .mapPartitions { it =>
         val dec = new ImageTable.ReusableDecoder
-        it.map { case (id, bytes) => (id, phash64(dec.decode(bytes))) }
+        it.flatMap { case (id, bytes) =>
+          val img = tryDecode(dec, bytes)
+          if (img == null) None else Some((id, phash64(img)))
+        }
       }.toDF("image_id", "phash")
   }
 

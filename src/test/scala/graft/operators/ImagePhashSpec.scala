@@ -91,6 +91,21 @@ class ImagePhashSpec extends AnyFunSuite {
     assert(got.size == 3 * nBase)
   }
 
+  test("undecodable image rows are skipped, not fatal") {
+    val good = ImageTable.encode(textured(1L, 16, 16), "png")
+    val rows = Seq(
+      ("ok", good),
+      ("garbage", Array[Byte](1, 2, 3, 4, 5)),
+      ("truncated", good.take(20)),
+      ("empty", Array.empty[Byte]))
+    val images = rows.toDF("image_id", "bytes")
+    val hashed = ImageOps.phashes(images).select("image_id").as[String].collect().toSet
+    assert(hashed == Set("ok"))
+    val feats = ImageOps.extractFeatures(images.withColumn("fmt", lit("png")))
+      .select("image_id").as[String].collect().toSet
+    assert(feats == Set("ok"))
+  }
+
   test("hammingPairs64 == brute force, including through the chunked-bucket path") {
     // planted corpus: 50 uniform sigs + one 12-member cluster within d<=2 of
     // a center; chunkSize=4 forces the cluster's buckets through chunkPairRows
