@@ -32,6 +32,19 @@ object Ann {
     aggregate(zip_with(quantize(a, scale), quantize(b, scale), (x, y) => x * y),
       lit(0L), (acc, v) => acc + v)
 
+  /** Exact quantized scoring + per-query top-k over a (id, emb, q_id,
+    * q_emb) candidate frame — the shared tail of every ANN variant
+    * (deterministic: score desc, ties broken by id). */
+  private def scoreTopK(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
+    cands
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("score", quantizedDot(col("emb"), col("q_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "id", "score", "rank")
+  }
+
   /** Brute-force top-k by quantized dot product (deterministic; ties broken
     * by id). Query vectors broadcast; corpus scanned once, no shuffle except
     * the final per-query top-k. */
@@ -41,13 +54,7 @@ object Ann {
       k: Int): DataFrame = {
     val c = corpus.select(id.as("id"), emb.as("emb"))
     val q = queries.select(qId.as("q_id"), qEmb.as("q_emb"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
-    c.crossJoin(broadcast(q))
-      .filter(col("id") =!= col("q_id"))
-      .withColumn("score", quantizedDot(col("emb"), col("q_emb")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "id", "score", "rank")
+    scoreTopK(c.crossJoin(broadcast(q)), k)
   }
 
   /** Deterministic random-hyperplane signature: bit i = sign(v · h_i), where
@@ -178,13 +185,7 @@ object Ann {
         Window.partitionBy("q_id").orderBy(col("cd"), col("bucket"))))
       .filter(col("rk") <= probes)
       .select(col("q_id"), col("q_emb"), col("bucket").cast("long").as("bucket"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
-    c.join(broadcast(probed), "bucket")
-      .filter(col("id") =!= col("q_id"))
-      .withColumn("score", quantizedDot(col("emb"), col("q_emb")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "id", "score", "rank")
+    scoreTopK(c.join(broadcast(probed), "bucket"), k)
   }
 
   /** IVF-style ANN: corpus pre-assigned to `nBuckets` coarse buckets by
@@ -201,12 +202,6 @@ object Ann {
     val probeArr = array(masks.map(lit): _*)
     val q = queries.select(qId.as("q_id"), qEmb.as("q_emb"),
         explode(transform(probeArr, p => hyperplaneSig(qEmb, planes).bitwiseXOR(p))).as("bucket"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
-    c.join(broadcast(q), "bucket")
-      .filter(col("id") =!= col("q_id"))
-      .withColumn("score", quantizedDot(col("emb"), col("q_emb")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "id", "score", "rank")
+    scoreTopK(c.join(broadcast(q), "bucket"), k)
   }
 }

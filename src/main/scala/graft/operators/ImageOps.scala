@@ -189,8 +189,10 @@ object ImageOps {
     images.select("image_id", "bytes", "fmt").as[(String, Array[Byte], String)]
       .mapPartitions { it =>
         val dec = new ImageTable.ReusableDecoder
-        it.map { case (id, bytes, fmt) =>
-          (id, ImageTable.resizeImg(dec.decode(bytes), fmt, tw, th), fmt)
+        it.flatMap { case (id, bytes, fmt) =>
+          val img = tryDecode(dec, bytes)
+          if (img == null) None
+          else Some((id, ImageTable.resizeImg(img, fmt, tw, th), fmt))
         }
       }.toDF("image_id", "thumb", "fmt")
   }
