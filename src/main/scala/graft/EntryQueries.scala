@@ -697,6 +697,20 @@ object EntryQueries {
   }
   def q30Sql: String = OracleSqlGen.q30Sql(8, 2, 64)
 
+  /** k-means-IVF search end-to-end (the [[Ann.ivfKmeansTopK]] operator):
+    * every stage — training, corpus bucketing, probe selection, in-bucket
+    * quantized scoring, per-query top-k — is exact integer arithmetic, so
+    * unlike the hyperplane IVF (q24, which replays a fixed hash family)
+    * this oracle replays a DATA-TRAINED index bit-for-bit. */
+  def q31AnnKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfKmeansTopK(
+      emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 10)
+  }
+  def q31Sql: String = OracleSqlGen.q31Sql(8, 2, 64, nq = 5, probes = 3, topK = 10)
+
   // ---- wiring ----
 
   val oracleQueries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -729,7 +743,8 @@ object EntryQueries {
     "q27_snapshot_pipeline" -> (q27SnapshotPipeline _, q27Sql),
     "q28_read_range" -> (q28ReadRange _, q28Sql),
     "q29_image_neardup" -> (q29ImageNearDup _, q29Sql),
-    "q30_kmeans" -> (q30Kmeans _, q30Sql))
+    "q30_kmeans" -> (q30Kmeans _, q30Sql),
+    "q31_ann_kmeans" -> (q31AnnKmeans _, q31Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

@@ -255,14 +255,20 @@ object OracleSqlGen {
     * clusters keep the previous centroid) — and a final assignment rollup.
     * Every quantity is an exact integer, so the chained-CTE replay is
     * bit-identical to the Spark loop. */
-  def q30Sql(k: Int, iters: Int, dims: Int): String = {
-    def qd(a: String, b: String): String =
-      s"CAST(list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT)"
+  /** Integer squared-L2 between two BIGINT[] lists. */
+  private def qdist(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT)"
+
+  /** WITH-fragment (no leading WITH) replaying the k-means training loop:
+    * `qv` (quantized corpus), seeds `c0`, `iters` assign/update rounds
+    * (`a1`,`c1`,…), and `afin` = the final assignment (vec_id, q, cluster,
+    * dist) against the trained centroids `c<iters>`. */
+  def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (SELECT vec_id, q, cluster, dist FROM (
          |  SELECT vec_id, q, cluster, dist,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
-         |  FROM (SELECT v.vec_id, v.q, c.cluster, ${qd("v.q", "c.q")} AS dist
+         |  FROM (SELECT v.vec_id, v.q, c.cluster, ${qdist("v.q", "c.q")} AS dist
          |        FROM qv v CROSS JOIN $cents c)) WHERE rk = 1)""".stripMargin
     def updateCte(prev: String, asg: String, name: String): String =
       s"""$name AS (SELECT p.cluster, COALESCE(u.qq, p.q) AS q
@@ -275,7 +281,7 @@ object OracleSqlGen {
          |    GROUP BY cluster) u ON u.cluster = p.cluster)""".stripMargin
     val rounds = (1 to iters).map(t => assignCte(s"a$t", s"c${t - 1}") + ",\n" +
       updateCte(s"c${t - 1}", s"a$t", s"c$t")).mkString(",\n")
-    s"""WITH qv AS (SELECT vec_id,
+    s"""qv AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
        |  FROM embeddings),
        |mx AS (SELECT vec_id, ${mix64Cols("CAST(vec_id AS UBIGINT)", "m")} FROM embeddings),
@@ -283,10 +289,36 @@ object OracleSqlGen {
        |       FROM (SELECT vec_id, m FROM mx ORDER BY m LIMIT $k) x
        |       JOIN qv v ON v.vec_id = x.vec_id),
        |$rounds,
-       |${assignCte("afin", s"c$iters")}
+       |${assignCte("afin", s"c$iters")}""".stripMargin
+  }
+
+  def q30Sql(k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dims)}
        |SELECT cluster, COUNT(*) AS n_members, CAST(SUM(dist) AS BIGINT) AS sum_dist
        |FROM afin GROUP BY cluster""".stripMargin
-  }
+
+  /** q31: full replay of the k-means-IVF search (Ann.ivfKmeansTopK):
+    * trained centroids from [[kmeansCtes]], corpus bucketed by `afin`,
+    * each query (vec_id < nq) probes its `probes` nearest centroids
+    * (integer distance, ties to the lowest cluster) and is scored exactly
+    * (quantized dot) inside them; per-query top-k by (score desc, id). */
+  def q31Sql(k: Int, iters: Int, dims: Int, nq: Int, probes: Int, topK: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dims)},
+       |qp AS (SELECT q_id, cluster FROM (
+       |  SELECT q_id, cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, cluster) AS rk
+       |  FROM (SELECT v.vec_id AS q_id, c.cluster, ${qdist("v.q", "c.q")} AS dist
+       |        FROM (SELECT vec_id, q FROM qv WHERE vec_id < $nq) v
+       |        CROSS JOIN c$iters c)) WHERE rk <= $probes),
+       |scored AS (SELECT p.q_id, a.vec_id AS id,
+       |    CAST(list_sum(list_transform(list_zip(a.q, v.q), x -> x[1] * x[2])) AS BIGINT) AS score
+       |  FROM afin a JOIN qp p ON a.cluster = p.cluster
+       |  JOIN qv v ON v.vec_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, id, score, rank FROM (
+       |  SELECT q_id, id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, id) AS rank
+       |  FROM scored) WHERE rank <= $topK""".stripMargin
 
   /** q26: image-invariant rollup — the expected (fmt, n, n_dims_ok=n)
     * distribution from the deterministic synthesis; any decode failure on
