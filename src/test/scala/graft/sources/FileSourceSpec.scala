@@ -142,6 +142,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.distinct.sorted.toSeq == (0 until 40).map(i => s"doc content $i").sorted)
   }
 
+  test("streaming near-dup: pigeonhole state emits in-batch and cross-batch pairs once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.core.Kernels
+    import spark.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val s0 = Kernels.mix64(1); val s1 = Kernels.mix64(2)
+    val a = Seq(
+      (0L, s0, ts(1)), (1L, s1, ts(1)),
+      (2L, Kernels.mix64(10), ts(1)), (3L, Kernels.mix64(11), ts(1)),
+      (100L, s0 ^ (1L << 7), ts(1))) // in-batch pair with id 0, hamming 1
+    val b = Seq(
+      (200L, s1 ^ ((1L << 3) | (1L << 40)), ts(2)), // cross-batch pair with id 1
+      (201L, Kernels.mix64(50), ts(2)))
+    val dir = Files.createTempDirectory("graft_neardup_stream")
+    a.toDF("id", "sig", "ts").coalesce(1).write.parquet(dir.resolve("a").toString)
+    b.toDF("id", "sig", "ts").coalesce(1).write.parquet(dir.resolve("b").toString)
+    val schema = spark.read.parquet(dir.resolve("a").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*")
+    val pairs = graft.streaming.StreamingDedup.hammingPairsStream(
+      stream, col("id"), col("sig"), col("ts"), watermark = "10 hours")
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("graft_neardup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT id_a, id_b, hamming FROM graft_neardup_out")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 100L, 1L), (1L, 200L, 2L)), s"got $got")
+    // same corpus through the batch engine: identical pair set
+    val batch = graft.operators.Dedup.hammingPairs64(
+        (a ++ b).toDF("id", "sig", "ts"), col("id"), col("sig"))
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(got == batch)
+    graft.operators.CacheTracker.releaseAll()
+  }
+
+  test("streaming near-dup: watermark evicts out-of-horizon partners (bounded state)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.core.Kernels
+    import spark.implicits._
+    val s0 = Kernels.mix64(7)
+    val a = Seq((0L, s0, java.sql.Timestamp.valueOf("2024-01-01 01:00:00")))
+    // partner arrives 3 days later — far outside the 30-minute horizon
+    val b = Seq((100L, s0 ^ 1L, java.sql.Timestamp.valueOf("2024-01-04 01:00:00")))
+    val dir = Files.createTempDirectory("graft_neardup_evict")
+    a.toDF("id", "sig", "ts").coalesce(1).write.parquet(dir.resolve("a").toString)
+    b.toDF("id", "sig", "ts").coalesce(1).write.parquet(dir.resolve("b").toString)
+    val schema = spark.read.parquet(dir.resolve("a").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*")
+    val pairs = graft.streaming.StreamingDedup.hammingPairsStream(
+      stream, col("id"), col("sig"), col("ts"), watermark = "30 minutes")
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("graft_neardup_evict_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.sql("SELECT * FROM graft_neardup_evict_out").isEmpty,
+      "evicted partner must not pair")
+  }
+
   test("streaming ingest -> foreachBatch -> snapshot table == batch pipeline") {
     // the SURVEY §2.10 design claim end to end: a file-source stream runs
     // through the same tile-assign kernel and commits each micro-batch to
