@@ -106,6 +106,42 @@ class ImagePhashSpec extends AnyFunSuite {
     assert(feats == Set("ok"))
   }
 
+  test("fuzz: hammingPairs64 == brute force on seeded random corpora, maxHamming 1..5") {
+    // mixed corpus per round: uniform background + several planted clusters
+    // with flip counts straddling the threshold
+    for (round <- 0 until 3; maxH <- Seq(1, 3, 5)) {
+      val seed = round * 1000L + maxH
+      val bg = (0 until 120).map(i => (i.toLong, Kernels.mix64(seed * 7919 + i)))
+      val clusters = (0 until 4).flatMap { c =>
+        val center = Kernels.mix64(seed * 104729 + c)
+        (0 until 6).map { m =>
+          var s = center
+          val flips = (Kernels.mix64(seed + c * 31 + m) & 7L).toInt // 0..7 bit flips
+          var f = 0
+          while (f < flips) {
+            s ^= 1L << ((Kernels.mix64(seed + c * 131 + m * 17 + f) >>> 58).toInt)
+            f += 1
+          }
+          (1000L + c * 10 + m, s)
+        }
+      }
+      val sigs = bg ++ clusters
+      val got = Dedup.hammingPairs64(sigs.toDF("id", "sig"), col("id"), col("sig"),
+          maxHamming = maxH)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+      CacheTracker.releaseAll()
+      val brute = (for {
+        i <- sigs.indices; j <- sigs.indices if i < j
+        d = ham(sigs(i)._2, sigs(j)._2) if d <= maxH
+      } yield {
+        val (a, b) = if (sigs(i)._1 < sigs(j)._1) (sigs(i)._1, sigs(j)._1)
+          else (sigs(j)._1, sigs(i)._1)
+        (a, b, d.toLong)
+      }).toSet
+      assert(got == brute, s"seed=$seed maxH=$maxH: engine=${got.size} brute=${brute.size}")
+    }
+  }
+
   test("hammingPairs64 == brute force, including through the chunked-bucket path") {
     // planted corpus: 50 uniform sigs + one 12-member cluster within d<=2 of
     // a center; chunkSize=4 forces the cluster's buckets through chunkPairRows
