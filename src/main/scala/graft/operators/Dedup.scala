@@ -242,15 +242,25 @@ object Dedup {
     * modalities reuse the same bounded-bucket machinery. Returns
     * (id_a, id_b, hamming, n_dropped_buckets), id_a < id_b.
     */
+  /** (offset, width) of each pigeonhole block for `maxHamming + 1` blocks —
+    * widths as equal as possible, first (64 % blocks) blocks get the extra
+    * bit. THE single definition of the block layout: the batch engine below
+    * and the streaming engine (StreamingDedup) must bucket identically or
+    * their pair sets diverge. */
+  private[graft] def pigeonholeLayout(maxHamming: Int): Array[(Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val blocks = maxHamming + 1
+    val widths = Array.tabulate(blocks)(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    Array.tabulate(blocks)(b => (offsets(b), widths(b)))
+  }
+
   def hammingPairs64(
       df: DataFrame, id: Column, sig64: Column,
       maxHamming: Int = 3, maxBucket: Int = 65536,
       chunkSize: Int = DefaultChunkSize): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
-    val blocks = maxHamming + 1
-    // widths as equal as possible; first (64 % blocks) blocks get the extra bit
-    val widths = Array.tabulate(blocks)(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
+    val layout = pigeonholeLayout(maxHamming)
+    val blocks = layout.length
     // the banded frame feeds the count histogram plus both chunk branches —
     // persist the signatures so the signature kernel runs once per doc
     val sigs = df.select(id.as("id"), sig64.as("sig"))
@@ -258,8 +268,9 @@ object Dedup {
     CacheTracker.register(sigs)
     val banded = sigs.select(col("id"), col("sig"), posexplode(
       array((0 until blocks).map { b =>
-        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
-        shiftrightunsigned(col("sig"), offsets(b)).bitwiseAND(lit(mask))
+        val (off, w) = layout(b)
+        val mask = if (w == 64) -1L else (1L << w) - 1L
+        shiftrightunsigned(col("sig"), off).bitwiseAND(lit(mask))
       }: _*)).as(Seq("band", "bh")))
     val counts = banded.groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
     val dropped = counts.filter(col("__bn") > maxBucket)

@@ -20,13 +20,20 @@ object ImageOps {
       brightness: Double, aspect: Double)
 
   /** Decode with the malformed-input policy of the codecs: undecodable
-    * bytes (unrecognized format → ImageIO's null; truncated/corrupt stream
-    * → IIOException) yield null and the row is SKIPPED by the batch
-    * operators — a 100-TB corpus always contains corrupt rows and one must
-    * not kill the job. Internal bugs (NPE etc.) stay loud. */
+    * bytes yield null and the row is SKIPPED by the batch operators — a
+    * 100-TB corpus always contains corrupt rows and one must not kill the
+    * job. Input-driven failures are: unrecognized format (ImageIO's null),
+    * truncated/corrupt stream (IIOException ⊂ IOException), and the JDK
+    * JPEG reader's known RuntimeExceptions on broken/CMYK ICC profiles
+    * (CMMException, IllegalArgumentException — JDK-8041125 family).
+    * Internal bugs (NPE etc.) stay loud. */
   private def tryDecode(dec: ImageTable.ReusableDecoder,
       bytes: Array[Byte]): java.awt.image.BufferedImage =
-    try dec.decode(bytes) catch { case _: java.io.IOException => null }
+    try dec.decode(bytes) catch {
+      case _: java.io.IOException => null
+      case _: java.awt.color.CMMException => null
+      case _: IllegalArgumentException => null
+    }
 
   /** Decode + feature-extract, one partition at a time (batch shape:
     * Iterator[Row] → Iterator[ImageFeatures]; decoder state amortized).

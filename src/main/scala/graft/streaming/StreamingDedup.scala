@@ -15,10 +15,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * a pair per near-duplicate found.
   *
   * Scale guardrails, mirroring the batch engine:
-  *  - state per bucket is bounded TWICE: entries older than the watermark
-  *    are evicted (and idle buckets removed entirely via event-time
-  *    timeout), and a `maxPerBucket` FIFO cap bounds the hot-bucket case —
-  *    a boilerplate signature flood costs memory ∝ cap, not ∝ stream;
+  *  - state per bucket is bounded TWICE: entries older than
+  *    watermark − horizon are evicted (a viable partner for any admissible
+  *    future event lies in [wm − horizon, ∞)), idle buckets are removed
+  *    entirely once the watermark passes newest-entry + horizon
+  *    (event-time timeout), and a `maxPerBucket` FIFO cap bounds the
+  *    hot-bucket case — a boilerplate signature flood costs memory ∝ cap,
+  *    not ∝ stream;
   *  - a pair agreeing on several blocks would emit once per block; instead
   *    it is emitted only by the FIRST agreeing block (computable from the
   *    two signatures alone), so the output carries each unordered pair
@@ -33,17 +36,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingDedup {
 
   final case class SigEvent(band: Int, bv: Long, id: Long, sig: Long, ts: Timestamp)
-  final case class BucketState(entries: List[(Long, Long, Long)]) // (id, sig, tsMillis), newest first
+  final case class BucketState(entries: List[(Long, Long, Long)]) // (id, sig, tsMillis), oldest first
   final case class NearDupPair(id_a: Long, id_b: Long, hamming: Long, ts: Timestamp)
-
-  /** (offset, width) of each pigeonhole block — same layout as the batch
-    * engine (first 64 % blocks blocks get the extra bit). */
-  private def blockLayout(maxHamming: Int): Array[(Int, Int)] = {
-    val n = maxHamming + 1
-    val widths = Array.tabulate(n)(b => 64 / n + (if (b < 64 % n) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    Array.tabulate(n)(b => (offsets(b), widths(b)))
-  }
 
   private def blockValue(sig: Long, off: Int, width: Int): Long =
     (sig >>> off) & (if (width == 64) -1L else (1L << width) - 1L)
@@ -67,8 +61,9 @@ object StreamingDedup {
       df: DataFrame, id: Column, sig64: Column, eventTime: Column,
       watermark: String, maxHamming: Int = 3,
       maxPerBucket: Int = 1024): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
-    val layout = blockLayout(maxHamming)
+    // the ONE block-layout definition, shared with the batch engine —
+    // bucketing must match or the streaming pair set diverges from batch
+    val layout = graft.operators.Dedup.pigeonholeLayout(maxHamming)
     // the pairing WINDOW is enforced on event-time distance at compare time:
     // Spark's watermark lags one micro-batch (it advances after a batch
     // completes), so state eviction alone would let a partner just past the
@@ -97,15 +92,26 @@ object StreamingDedup {
         state: GroupState[BucketState]): Iterator[NearDupPair] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val wm = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else 0L
-      var entries = state.getOption.map(_.entries).getOrElse(Nil)
-        .filter(_._3 >= wm)
+      // a viable partner for any admissible future event (ts ≥ wm) lies in
+      // [wm − horizon, ∞): evicting at the bare watermark would drop
+      // partners still inside the documented pairing window
+      val keepFrom = wm - horizonMs
+      val dq = scala.collection.mutable.ArrayDeque.empty[(Long, Long, Long)] // oldest first
+      var maxTs = 0L
+      state.getOption.map(_.entries).getOrElse(Nil).foreach { e =>
+        if (e._3 >= keepFrom) {
+          dq.append(e)
+          if (e._3 > maxTs) maxTs = e._3
+        }
+      }
       val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
       // iterator order within a micro-batch is not deterministic — sort so
       // intra-batch pair emission times are stable
       val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.id))
       sorted.foreach { e =>
-        entries.foreach { case (id0, sig0, ts0) =>
-          if (id0 != e.id && math.abs(e.ts.getTime - ts0) <= horizonMs) {
+        val et = e.ts.getTime
+        dq.foreach { case (id0, sig0, ts0) =>
+          if (id0 != e.id && math.abs(et - ts0) <= horizonMs) {
             val d = java.lang.Long.bitCount(e.sig ^ sig0)
             if (d <= maxHamming && firstAgreeingBlock(e.sig, sig0, layout) == e.band) {
               val (a, b) = if (id0 < e.id) (id0, e.id) else (e.id, id0)
@@ -113,12 +119,14 @@ object StreamingDedup {
             }
           }
         }
-        entries = (e.id, e.sig, e.ts.getTime) :: entries
-        if (entries.length > maxPerBucket) entries = entries.take(maxPerBucket)
+        dq.append((e.id, e.sig, et))
+        if (et > maxTs) maxTs = et
+        if (dq.size > maxPerBucket) dq.removeHead()
       }
-      state.update(BucketState(entries))
-      val maxTs = entries.headOption.map(_._3).getOrElse(0L)
-      state.setTimeoutTimestamp(math.max(maxTs, wm + 1L))
+      state.update(BucketState(dq.toList))
+      // the bucket is dead only once the watermark passes newest-entry +
+      // horizon (before that an admissible event could still pair with it)
+      state.setTimeoutTimestamp(math.max(maxTs + horizonMs, wm + 1L))
       out.iterator
     }
 

@@ -178,6 +178,37 @@ class StreamingSpec extends AnyFunSuite {
     graft.operators.CacheTracker.releaseAll()
   }
 
+  test("streaming near-dup: partner below the watermark but inside the horizon still pairs") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.core.Kernels
+    import spark.implicits._
+    val s0 = Kernels.mix64(11)
+    // batch 1: the partner at 01:00 plus an unrelated 15:00 event that
+    // drags the watermark up to 05:00 (10h delay) after the batch
+    val a = Seq(
+      (0L, s0, java.sql.Timestamp.valueOf("2024-01-01 01:00:00")),
+      (9L, Kernels.mix64(99), java.sql.Timestamp.valueOf("2024-01-01 15:00:00")))
+    // batch 2: 06:00 is above the 05:00 watermark (admitted) and 5h from
+    // the partner — inside the 10h horizon, so the pair MUST be found even
+    // though the partner's ts is below the watermark
+    val b = Seq((100L, s0 ^ (1L << 5), java.sql.Timestamp.valueOf("2024-01-01 06:00:00")))
+    val dir = Files.createTempDirectory("graft_neardup_lag")
+    a.toDF("id", "sig", "ts").coalesce(1).write.parquet(dir.resolve("a").toString)
+    b.toDF("id", "sig", "ts").coalesce(1).write.parquet(dir.resolve("b").toString)
+    val schema = spark.read.parquet(dir.resolve("a").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*")
+    val pairs = graft.streaming.StreamingDedup.hammingPairsStream(
+      stream, col("id"), col("sig"), col("ts"), watermark = "10 hours")
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("graft_neardup_lag_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT id_a, id_b, hamming FROM graft_neardup_lag_out")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 100L, 1L)), s"got $got")
+  }
+
   test("streaming near-dup: watermark evicts out-of-horizon partners (bounded state)") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.core.Kernels
