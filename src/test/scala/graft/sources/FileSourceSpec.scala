@@ -233,6 +233,32 @@ class StreamingSpec extends AnyFunSuite {
       "evicted partner must not pair")
   }
 
+  test("streaming near-dup: signature flood is bounded by the FIFO cap") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.core.Kernels
+    import spark.implicits._
+    // 3000 rows with the SAME signature — the boilerplate-flood case; with
+    // cap 50, each arrival pairs with at most 50 retained partners
+    val s = Kernels.mix64(123)
+    val rows = (0L until 3000L).map(i =>
+      (i, s, java.sql.Timestamp.valueOf("2024-01-01 01:00:00")))
+    val dir = Files.createTempDirectory("graft_neardup_flood")
+    rows.toDF("id", "sig", "ts").coalesce(1).write.parquet(dir.resolve("a").toString)
+    val schema = spark.read.parquet(dir.resolve("a").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*")
+    val pairs = graft.streaming.StreamingDedup.hammingPairsStream(
+      stream, col("id"), col("sig"), col("ts"), watermark = "1 hour",
+      maxPerBucket = 50)
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("graft_neardup_flood_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val n = spark.sql("SELECT count(*) FROM graft_neardup_flood_out").head().getLong(0)
+    // capped: ≤ rows × cap, far below the 4.5M uncapped all-pairs volume
+    assert(n > 0 && n <= 3000L * 50, s"flood emitted $n pairs")
+  }
+
   test("streaming ingest -> foreachBatch -> snapshot table == batch pipeline") {
     // the SURVEY §2.10 design claim end to end: a file-source stream runs
     // through the same tile-assign kernel and commits each micro-batch to
