@@ -259,6 +259,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(n > 0 && n <= 3000L * 50, s"flood emitted $n pairs")
   }
 
+  test("streaming image ingest: decode+phash (mapPartitions) runs stateless on a stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      val r = ImageTable.rowFor(i.toLong)
+      (r.image_id, r.bytes)
+    }
+    val dir = Files.createTempDirectory("graft_img_stream")
+    rows.toDF("image_id", "bytes").coalesce(1).write.parquet(dir.resolve("a").toString)
+    val schema = spark.read.parquet(dir.resolve("a").toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString + "/*")
+    val q = graft.operators.ImageOps.phashes(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_img_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT image_id, phash FROM graft_img_stream_out")
+      .as[(String, Long)].collect().toSet
+    val batch = graft.operators.ImageOps.phashes(rows.toDF("image_id", "bytes"))
+      .as[(String, Long)].collect().toSet
+    assert(streamed == batch && streamed.size == 40)
+  }
+
   test("streaming ingest -> foreachBatch -> snapshot table == batch pipeline") {
     // the SURVEY §2.10 design claim end to end: a file-source stream runs
     // through the same tile-assign kernel and commits each micro-batch to
