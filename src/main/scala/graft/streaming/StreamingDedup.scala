@@ -31,7 +31,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (carrying that row's event time). Recall within the watermark horizon
   * equals the batch operator's (100% by pigeonhole construction) unless the
   * FIFO cap evicted a partner early — the cap trades recall for bounded
-  * state exactly like the batch `maxBucket` drop.
+  * state exactly like the batch `maxBucket` drop, and like it is never
+  * silent: pass a `droppedEntries` accumulator to observe cap evictions of
+  * still-in-horizon entries (the streaming analog of `n_dropped_buckets`).
   */
 object StreamingDedup {
 
@@ -60,7 +62,8 @@ object StreamingDedup {
   def hammingPairsStream(
       df: DataFrame, id: Column, sig64: Column, eventTime: Column,
       watermark: String, maxHamming: Int = 3,
-      maxPerBucket: Int = 1024): DataFrame = {
+      maxPerBucket: Int = 1024,
+      droppedEntries: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     // the ONE block-layout definition, shared with the batch engine —
     // bucketing must match or the streaming pair set diverges from batch
     val layout = graft.operators.Dedup.pigeonholeLayout(maxHamming)
@@ -121,7 +124,13 @@ object StreamingDedup {
         }
         dq.append((e.id, e.sig, et))
         if (et > maxTs) maxTs = et
-        if (dq.size > maxPerBucket) dq.removeHead()
+        if (dq.size > maxPerBucket) {
+          val evicted = dq.removeHead()
+          // a cap eviction of a still-in-horizon entry is a potential
+          // recall loss — never silent (the batch engine's principle)
+          if (math.abs(et - evicted._3) <= horizonMs)
+            droppedEntries.foreach(_.add(1L))
+        }
       }
       state.update(BucketState(dq.toList))
       // the bucket is dead only once the watermark passes newest-entry +

@@ -247,9 +247,10 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(dir.resolve("a").toString).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*")
+    val dropped = spark.sparkContext.longAccumulator("neardup_dropped")
     val pairs = graft.streaming.StreamingDedup.hammingPairsStream(
       stream, col("id"), col("sig"), col("ts"), watermark = "1 hour",
-      maxPerBucket = 50)
+      maxPerBucket = 50, droppedEntries = Some(dropped))
     val q = pairs.writeStream.outputMode("append")
       .format("memory").queryName("graft_neardup_flood_out")
       .trigger(Trigger.AvailableNow()).start()
@@ -257,6 +258,8 @@ class StreamingSpec extends AnyFunSuite {
     val n = spark.sql("SELECT count(*) FROM graft_neardup_flood_out").head().getLong(0)
     // capped: ≤ rows × cap, far below the 4.5M uncapped all-pairs volume
     assert(n > 0 && n <= 3000L * 50, s"flood emitted $n pairs")
+    // and the recall loss is observable, not silent
+    assert(dropped.value > 0, "cap evictions must surface in the accumulator")
   }
 
   test("streaming image ingest: decode+phash (mapPartitions) runs stateless on a stream") {
