@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.st
-import graft.operators.{Ann, Dedup, SpatialOps, TextOps}
+import graft.operators.{Ann, Dedup, Mixing, SpatialOps, TextOps}
 import graft.sources.ImageTable
 
 /** The operator-coverage query suite behind [[SparkEntry]].
@@ -711,6 +711,22 @@ object EntryQueries {
   }
   def q31Sql: String = OracleSqlGen.q31Sql(8, 2, 64, nq = 5, probes = 3, topK = 10)
 
+  /** The q32 mixing recipe: upsample, keep, subsample, and implicit-drop
+    * cases all present (sources absent from the map are dropped). */
+  val mixRecipe: Map[String, Double] = Map(
+    "src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4, "src5" -> 1.75, "src7" -> 0.25)
+
+  /** Training-data mixing: deterministic per-source sampling/upsampling
+    * ([[Mixing.stratifiedSample]]) — the keep/copy decision is a pure
+    * integer function of doc_id, so the oracle replays the recipe exactly
+    * (same precomputed thresholds on both engines). */
+  def q32Mixing(s: SparkSession, dir: String): DataFrame =
+    Mixing.stratifiedSample(t(s, dir, "documents"), col("source"), col("doc_id"), mixRecipe)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("copy")).as("sum_copy"))
+  def q32Sql: String = OracleSqlGen.q32Sql(mixRecipe.toSeq)
+
   // ---- wiring ----
 
   val oracleQueries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -744,7 +760,8 @@ object EntryQueries {
     "q28_read_range" -> (q28ReadRange _, q28Sql),
     "q29_image_neardup" -> (q29ImageNearDup _, q29Sql),
     "q30_kmeans" -> (q30Kmeans _, q30Sql),
-    "q31_ann_kmeans" -> (q31AnnKmeans _, q31Sql))
+    "q31_ann_kmeans" -> (q31AnnKmeans _, q31Sql),
+    "q32_mixing" -> (q32Mixing _, q32Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

@@ -320,6 +320,34 @@ object OracleSqlGen {
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, id) AS rank
        |  FROM scored) WHERE rank <= $topK""".stripMargin
 
+  /** q32: training-data mixing replay (Mixing.stratifiedSample): per-source
+    * weights become ⌊w⌋ whole copies + one extra iff
+    * (mix64(doc_id) >> 1) < ⌊frac(w)·2⁶³⌋ — the SAME precomputed integer
+    * thresholds are embedded on both engines, so no float comparison runs
+    * anywhere. Copies expand through the list form of generate_series
+    * (the table form rejects lateral column bounds). */
+  def q32Sql(weights: Seq[(String, Double)]): String = {
+    val wholeCase = weights.sortBy(_._1).map { case (k, w) =>
+      s"WHEN '$k' THEN ${math.floor(w).toLong}"
+    }.mkString(" ")
+    val thCase = weights.sortBy(_._1).map { case (k, w) =>
+      s"WHEN '$k' THEN CAST(${graft.operators.Mixing.fracThreshold(w)} AS UBIGINT)"
+    }.mkString(" ")
+    s"""WITH mxd AS (SELECT doc_id, source,
+       |  ${mix64Cols("CAST(doc_id AS UBIGINT)", "m")}
+       |  FROM documents),
+       |c AS (SELECT doc_id, source,
+       |  (CASE source $wholeCase ELSE 0 END)
+       |  + (CASE WHEN (m >> 1) < (CASE source $thCase ELSE CAST(0 AS UBIGINT) END)
+       |     THEN 1 ELSE 0 END) AS copies
+       |  FROM mxd),
+       |e AS (SELECT doc_id, source,
+       |  unnest(generate_series(0, copies - 1)) AS copy FROM c WHERE copies >= 1)
+       |SELECT source, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(copy) AS BIGINT) AS sum_copy
+       |FROM e GROUP BY source""".stripMargin
+  }
+
   /** q26: image-invariant rollup — the expected (fmt, n, n_dims_ok=n)
     * distribution from the deterministic synthesis; any decode failure on
     * the Spark side breaks n_dims_ok and the hash compare. */

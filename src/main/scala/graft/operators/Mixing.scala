@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.st
+
+/** Training-data mixing: deterministic per-key sampling and upsampling.
+  * A data recipe assigns each source a weight w ∈ [0, ∞): w ≤ 1 is
+  * Bernoulli subsampling, w > 1 emits ⌊w⌋ copies plus one more with
+  * probability frac(w). The keep/extra-copy decision is a pure function of
+  * the row id — uniform₆₃(id) = mix64(id) >>> 1 compared against the
+  * PRECOMPUTED integer threshold ⌊frac(w)·2⁶³⌋ — so the sample is
+  * partition-invariant, resumable, identical on re-runs, and exactly
+  * replayable in integer SQL (q32). No RNG state, no float comparison at
+  * runtime on either engine.
+  */
+object Mixing {
+
+  /** Integer threshold for the fractional part of a weight. */
+  def fracThreshold(w: Double): Long = {
+    val frac = w - math.floor(w)
+    (frac * 9.223372036854775807e18).toLong // ⌊frac·(2⁶³−1)⌋, no overflow
+  }
+
+  /** Rows of `df` emitted `copies(key, id)` times, with a 0-based `copy`
+    * index column for downstream per-copy salting. Keys absent from
+    * `weights` are DROPPED — a mixing recipe is an explicit contract.
+    * Plan shape: one codegen'd map (CASE over the weight table + mix64) +
+    * filter + generate — no shuffle, no driver round-trip. */
+  def stratifiedSample(
+      df: DataFrame, key: Column, id: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w.isFinite), "weights must be finite and >= 0")
+    // deterministic CASE order (sorted keys) so the plan is stable
+    val sortedW = weights.toSeq.sortBy(_._1)
+    val whole = sortedW.foldLeft(lit(0L)) { case (acc, (k, w)) =>
+      when(key === k, lit(math.floor(w).toLong)).otherwise(acc)
+    }
+    val th = sortedW.foldLeft(lit(0L)) { case (acc, (k, w)) =>
+      when(key === k, lit(fracThreshold(w))).otherwise(acc)
+    }
+    val u = shiftrightunsigned(st.mix64(id), 1) // uniform in [0, 2⁶³)
+    df.withColumn("__copies", whole + when(u < th, 1L).otherwise(0L))
+      .filter(col("__copies") >= 1L)
+      // sequence(0, n-1) needs n >= 1 here: Spark infers a NEGATIVE step
+      // for sequence(0, -1) and would emit phantom copies
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+  }
+}

@@ -301,6 +301,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ivf.subsetOf(ivf)) // sanity
   }
 
+  test("mixing: stratifiedSample == per-row integer model; partition-invariant") {
+    val rows = (0L until 400L).map(i => (i, s"k${i % 4}")).toDF("id", "key")
+    val weights = Map("k0" -> 3.0, "k1" -> 1.6, "k2" -> 0.3) // k3 dropped
+    def run(parts: Int) =
+      Mixing.stratifiedSample(rows.repartition(parts), col("key"), col("id"), weights)
+        .select("id", "key", "copy").as[(Long, String, Long)].collect().toSet
+    val a = run(2); val b = run(13)
+    assert(a == b, "sample must not depend on partitioning")
+    // per-row model: floor(w) copies + 1 iff (mix64(id) >>> 1) < frac·2⁶³
+    val expected = (0L until 400L).flatMap { i =>
+      val k = s"k${i % 4}"
+      weights.get(k).toSeq.flatMap { w =>
+        val extra = if ((Kernels.mix64(i) >>> 1) < Mixing.fracThreshold(w)) 1 else 0
+        (0 until (math.floor(w).toInt + extra)).map(c => (i, k, c.toLong))
+      }
+    }.toSet
+    assert(a == expected)
+    // whole weights are exact; fractional rates land near w·n
+    assert(a.count(_._2 == "k0") == 300) // 100 ids × exactly 3 copies
+    val k2 = a.count(_._2 == "k2")
+    assert(k2 > 10 && k2 < 50, s"k2 rate $k2 far from 0.3 × 100")
+    assert(!a.exists(_._2 == "k3"))
+  }
+
   test("kmeans assignment is bit-identical across partitionings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def run(parts: Int) = {
