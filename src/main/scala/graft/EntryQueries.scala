@@ -727,6 +727,22 @@ object EntryQueries {
         sum(col("copy")).as("sum_copy"))
   def q32Sql: String = OracleSqlGen.q32Sql(mixRecipe.toSeq)
 
+  /** q33 budgets: tight cap, mid cap, effectively-uncapped, rest dropped. */
+  val charBudgets: Map[String, Long] = Map(
+    "src0" -> 3000L, "src1" -> 8000L, "src2" -> 1000000000L, "src3" -> 500L)
+
+  /** Per-source char-budget cap ([[Mixing.budgetCap]]): rows kept in the
+    * deterministic mix64-uniform order until the source's budget is
+    * exhausted — running-window arithmetic is all integers, so the oracle
+    * replays the cap exactly. */
+  def q33Budget(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Mixing.budgetCap(d, col("source"), col("doc_id"), col("n_chars"), charBudgets)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+  def q33Sql: String = OracleSqlGen.q33Sql(charBudgets.toSeq)
+
   // ---- wiring ----
 
   val oracleQueries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -761,7 +777,8 @@ object EntryQueries {
     "q29_image_neardup" -> (q29ImageNearDup _, q29Sql),
     "q30_kmeans" -> (q30Kmeans _, q30Sql),
     "q31_ann_kmeans" -> (q31AnnKmeans _, q31Sql),
-    "q32_mixing" -> (q32Mixing _, q32Sql))
+    "q32_mixing" -> (q32Mixing _, q32Sql),
+    "q33_budget" -> (q33Budget _, q33Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

@@ -348,6 +348,25 @@ object OracleSqlGen {
        |FROM e GROUP BY source""".stripMargin
   }
 
+  /** q33: per-source budget cap replay (Mixing.budgetCap): running SUM of
+    * n_chars over the mix64-uniform order per source, rows kept while the
+    * running total stays within the source's budget. Window ORDER BY
+    * ((m >> 1), doc_id) matches Spark's (u asc, id asc) exactly — both
+    * nonnegative integers. */
+  def q33Sql(budgets: Seq[(String, Long)]): String = {
+    val bCase = budgets.sortBy(_._1).map { case (k, b) => s"WHEN '$k' THEN $b" }.mkString(" ")
+    s"""WITH mxd AS (SELECT doc_id, source, n_chars,
+       |  ${mix64Cols("CAST(doc_id AS UBIGINT)", "m")}
+       |  FROM documents),
+       |r AS (SELECT doc_id, source, n_chars,
+       |  SUM(n_chars) OVER (PARTITION BY source ORDER BY (m >> 1), doc_id) AS run
+       |  FROM mxd)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM r WHERE run <= CASE source $bCase ELSE 0 END
+       |GROUP BY source""".stripMargin
+  }
+
   /** q26: image-invariant rollup — the expected (fmt, n, n_dims_ok=n)
     * distribution from the deterministic synthesis; any decode failure on
     * the Spark side breaks n_dims_ok and the hash compare. */

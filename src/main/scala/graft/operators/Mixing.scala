@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.st
@@ -47,5 +48,37 @@ object Mixing {
       // for sequence(0, -1) and would emit phantom copies
       .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1L)))
       .drop("__copies")
+  }
+
+  /** Deterministic per-key budget cap: keep rows in mix64-uniform order
+    * (a stable pseudo-random order, pure function of id) until the running
+    * total of `cost` would exceed the key's budget — the "N chars/tokens
+    * per source" half of a data recipe. Keys absent from `budgets` are
+    * dropped. One window over (key) — at scale this is a single shuffle on
+    * the key, and the kept set is identical across partitionings/re-runs.
+    */
+  def budgetCap(
+      df: DataFrame, key: Column, id: Column, cost: Column,
+      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (k, b)) =>
+      when(key === k, lit(b)).otherwise(acc)
+    }
+    val u = shiftrightunsigned(st.mix64(id), 1)
+    val w = Window.partitionBy(key).orderBy(u.asc, id.asc)
+    df.withColumn("__run", sum(cost).over(w))
+      .filter(col("__run") <= budget)
+      .drop("__run")
+  }
+
+  /** Deterministic holdout split: (train, heldout) by the same id-uniform —
+    * a row lands in the holdout iff uniform₆₃(id) < ⌊testFrac·2⁶³⌋. The two
+    * frames partition the input exactly and are stable across re-runs, so
+    * train/eval contamination cannot drift between pipeline stages. */
+  def holdoutSplit(df: DataFrame, id: Column, testFrac: Double): (DataFrame, DataFrame) = {
+    require(testFrac >= 0 && testFrac < 1, "testFrac in [0, 1)")
+    val th = fracThreshold(testFrac)
+    val inTest = shiftrightunsigned(st.mix64(id), 1) < lit(th)
+    (df.filter(!inTest), df.filter(inTest))
   }
 }

@@ -325,6 +325,44 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(!a.exists(_._2 == "k3"))
   }
 
+  test("mixing: budgetCap keeps the deterministic uniform-order prefix per key") {
+    val rows = (0L until 300L).map(i => (i, s"k${i % 3}", 10L + (i % 7)))
+      .toDF("id", "key", "cost")
+    val budgets = Map("k0" -> 200L, "k1" -> 1000000L) // k2 dropped
+    def run(parts: Int) =
+      Mixing.budgetCap(rows.repartition(parts), col("key"), col("id"), col("cost"), budgets)
+        .select("id", "key").as[(Long, String)].collect().toSet
+    val a = run(2); val b = run(11)
+    assert(a == b, "cap must not depend on partitioning")
+    // model: per key, order ids by (mix64 >>> 1, id), keep while cumsum <= budget
+    val expected = (0 until 3).flatMap { k =>
+      val key = s"k$k"
+      budgets.get(key).toSeq.flatMap { budget =>
+        val ordered = (0L until 300L).filter(_ % 3 == k)
+          .sortBy(i => (Kernels.mix64(i) >>> 1, i))
+        var run = 0L
+        ordered.takeWhile { i => run += 10L + (i % 7); run <= budget }
+          .map(i => (i, key))
+      }
+    }.toSet
+    assert(a == expected)
+    assert(a.count(_._2 == "k0") < 100 && a.count(_._2 == "k1") == 100)
+    assert(!a.exists(_._2 == "k2"))
+  }
+
+  test("mixing: holdoutSplit partitions exactly and deterministically") {
+    val rows = spark.range(2000).toDF("id")
+    val (train, test1) = Mixing.holdoutSplit(rows, col("id"), 0.1)
+    val tr = train.select("id").as[Long].collect().toSet
+    val te = test1.select("id").as[Long].collect().toSet
+    assert((tr & te).isEmpty && tr.size + te.size == 2000)
+    assert(te.size > 120 && te.size < 280, s"holdout ${te.size} far from 10%")
+    // stable across recomputation
+    val te2 = Mixing.holdoutSplit(rows.repartition(7), col("id"), 0.1)
+      ._2.select("id").as[Long].collect().toSet
+    assert(te == te2)
+  }
+
   test("kmeans assignment is bit-identical across partitionings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def run(parts: Int) = {
