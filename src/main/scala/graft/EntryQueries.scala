@@ -743,6 +743,18 @@ object EntryQueries {
   }
   def q33Sql: String = OracleSqlGen.q33Sql(charBudgets.toSeq)
 
+  /** Eval decontamination ([[Dedup.decontaminate]]): eval = doc_id < 20 of
+    * the corpus itself, so those docs and their planted near-dups are
+    * removed; survivors rolled up per source. Broadcast nested-loop ANTI
+    * join — one corpus pass, no shuffle. */
+  def q34Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.decontaminate(d, col("text"), d.filter(col("doc_id") < 20), col("text"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+  def q34Sql: String = OracleSqlGen.q34Sql(0.6, 20)
+
   // ---- wiring ----
 
   val oracleQueries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -778,7 +790,8 @@ object EntryQueries {
     "q30_kmeans" -> (q30Kmeans _, q30Sql),
     "q31_ann_kmeans" -> (q31AnnKmeans _, q31Sql),
     "q32_mixing" -> (q32Mixing _, q32Sql),
-    "q33_budget" -> (q33Budget _, q33Sql))
+    "q33_budget" -> (q33Budget _, q33Sql),
+    "q34_decontaminate" -> (q34Decontaminate _, q34Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

@@ -405,6 +405,33 @@ object OracleSqlGen {
        |WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= $minJ""".stripMargin
   }
 
+  /** q34: eval decontamination replay (Dedup.decontaminate): survivors =
+    * corpus docs with NO eval doc at Jaccard ≥ minJ over hashed 4-gram
+    * shingle sets (same rollHash kernel as q21), with the same lossless
+    * integer size-ratio prefilter the engine applies. Eval = doc_id <
+    * `nEval` of the corpus itself, so those docs (J = 1 vs themselves) and
+    * their near-dups are removed. */
+  def q34Sql(minJ: Double, nEval: Int): String = {
+    val num = graft.operators.Dedup.ratioNum(minJ)
+    val den = graft.operators.Dedup.RatioDen
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(t) < 4 THEN [${rollHash("t")}]
+       |       ELSE list_distinct([${roll4("t", "j")} for j in generate_series(1, len(t) - 3)])
+       |  END AS s
+       |  FROM d),
+       |ev AS (SELECT s FROM sh WHERE doc_id < $nEval),
+       |keep AS (SELECT a.doc_id FROM sh a WHERE NOT EXISTS (
+       |  SELECT 1 FROM ev b
+       |  WHERE len(a.s) * $den >= len(b.s) * $num
+       |    AND len(b.s) * $den >= len(a.s) * $num
+       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= $minJ))
+       |SELECT dd.source, COUNT(*) AS n_docs, CAST(SUM(dd.n_chars) AS BIGINT) AS total_chars
+       |FROM documents dd JOIN keep k ON dd.doc_id = k.doc_id
+       |GROUP BY dd.source""".stripMargin
+  }
+
   /** sig CTE fragment: per-doc 64-bit SimHash (Kernels.simhash64) as a
     * UBIGINT column `s` keyed by doc_id. */
   def simhashCtes: String =

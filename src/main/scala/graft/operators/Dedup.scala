@@ -38,6 +38,12 @@ object Dedup {
     * task's flatten buffer is trivially memory-safe. */
   val DefaultChunkSize = 512
 
+  /** Size-ratio prefilter as an integer fraction num/RatioDen ≤ minJ —
+    * rounding DOWN keeps the prefilter lossless (J ≥ t ⇒ |A|/|B| ∈
+    * [t, 1/t]); shared with the decontamination oracle. */
+  private[graft] val RatioDen = 100L
+  private[graft] def ratioNum(minJ: Double): Long = math.floor(minJ * 100).toLong
+
   /** Chunk-pair rows for bounded in-bucket pair generation. `kept` must
     * carry the bucket count `__bn` plus the `x` payload struct (id-first).
     *
@@ -206,6 +212,35 @@ object Dedup {
       .withColumn("jaccard", st.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .drop("sh_a", "sh_b")
+  }
+
+  /** Eval-set decontamination: drop every corpus row whose n-gram Jaccard
+    * vs ANY eval document reaches `minJaccard` — the standard benchmark-
+    * decontamination pass of a training pipeline. An eval set is
+    * benchmark-sized (≪ corpus), so the right plan is a broadcast
+    * nested-loop ANTI join: eval shingle sets broadcast once, the corpus
+    * scanned once map-side with the lossless size-ratio prefilter
+    * (J ≥ t ⇒ |A|/|B| ∈ [t, 1/t]) ahead of the exact sorted-merge Jaccard
+    * kernel — NO shuffle of the corpus at any point. For eval sets too
+    * large to broadcast, run [[minhashCandidates]] over the union and
+    * anti-join instead. */
+  def decontaminate(
+      corpus: DataFrame, text: Column,
+      evalDf: DataFrame, evalText: Column,
+      shingleLen: Int = 4, minJaccard: Double = 0.6): DataFrame = {
+    import graft.functions.st
+    require(minJaccard > 0 && minJaccard <= 1, "minJaccard in (0, 1]")
+    // integer ratio prefilter: num/den ≤ minJaccard keeps it LOSSLESS
+    // (never excludes a true pair); the oracle embeds the same integers
+    val den = RatioDen
+    val num = ratioNum(minJaccard)
+    val ev = broadcast(evalDf.select(st.shingleHashes(evalText, shingleLen).as("__esh")))
+    val sized = corpus.withColumn("__sh", st.shingleHashes(text, shingleLen))
+    val cond =
+      size(col("__sh")).cast("long") * den >= size(col("__esh")).cast("long") * num &&
+      size(col("__esh")).cast("long") * den >= size(col("__sh")).cast("long") * num &&
+      st.jaccardSorted(col("__sh"), col("__esh")) >= minJaccard
+    sized.join(ev, cond, "left_anti").drop("__sh")
   }
 
   /** 64-bit SimHash over whitespace tokens — single-pass kernel expression

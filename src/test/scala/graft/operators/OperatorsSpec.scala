@@ -301,6 +301,20 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ivf.subsetOf(ivf)) // sanity
   }
 
+  test("decontaminate: eval docs and their near-dups removed, clean docs survive, no shuffle") {
+    val d = docs(100).cache() // base 0..99 + near-dups 100..119 of docs 0..19
+    val eval = d.filter(col("doc_id") < 10)
+    val out = Dedup.decontaminate(d, col("text"), eval, col("text"))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "decontamination must be a broadcast anti join, not a shuffle")
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    // removed: the eval docs themselves (J = 1) and their planted near-dups
+    (0L until 10L).foreach(i => assert(!kept.contains(i) && !kept.contains(100L + i)))
+    // everything unrelated to the eval set survives
+    (10L until 100L).foreach(i => assert(kept.contains(i)))
+    (110L until 120L).foreach(i => assert(kept.contains(i)))
+  }
+
   test("mixing: stratifiedSample == per-row integer model; partition-invariant") {
     val rows = (0L until 400L).map(i => (i, s"k${i % 4}")).toDF("id", "key")
     val weights = Map("k0" -> 3.0, "k1" -> 1.6, "k2" -> 0.3) // k3 dropped
