@@ -38,9 +38,15 @@ object Dedup {
     * task's flatten buffer is trivially memory-safe. */
   val DefaultChunkSize = 512
 
-  /** Size-ratio prefilter as an integer fraction num/RatioDen ≤ minJ —
-    * rounding DOWN keeps the prefilter lossless (J ≥ t ⇒ |A|/|B| ∈
-    * [t, 1/t]); shared with the decontamination oracle. */
+  /** Size-ratio prefilter as an integer fraction num/RatioDen, shared with
+    * the decontamination oracle (both engines embed the same integers, so
+    * cross-engine parity never depends on this rounding). Nominally
+    * num/100 ≤ minJ; for thresholds whose scaled product rounds UP in
+    * double (e.g. 0.6·100 → exactly 60, though the real product is
+    * 59.999…8) the fraction exceeds the double threshold by < 1 real ulp —
+    * excluding a true pair through that sliver would need shingle-set
+    * sizes ~2⁵¹, unreachable for text, so the prefilter is lossless on any
+    * real corpus. */
   private[graft] val RatioDen = 100L
   private[graft] def ratioNum(minJ: Double): Long = math.floor(minJ * 100).toLong
 
@@ -230,6 +236,8 @@ object Dedup {
       shingleLen: Int = 4, minJaccard: Double = 0.6): DataFrame = {
     import graft.functions.st
     require(minJaccard > 0 && minJaccard <= 1, "minJaccard in (0, 1]")
+    require(!corpus.columns.contains("__sh") && !corpus.columns.contains("__esh"),
+      "corpus must not carry '__sh'/'__esh' columns (used internally)")
     // integer ratio prefilter: num/den ≤ minJaccard keeps it LOSSLESS
     // (never excludes a true pair); the oracle embeds the same integers
     val den = RatioDen

@@ -18,10 +18,14 @@ import graft.functions.st
   */
 object Mixing {
 
-  /** Integer threshold for the fractional part of a weight. */
+  /** Integer threshold for the fractional part of a weight: ⌊frac·2⁶³⌋.
+    * (The literal rounds to the double 2⁶³ — 2⁶³−1 is not representable —
+    * and the product stays < 2⁶³ because frac ≤ 1−2⁻⁵³, so toLong never
+    * saturates. Both engines embed this exact value; do not recompute it
+    * with different arithmetic.) */
   def fracThreshold(w: Double): Long = {
     val frac = w - math.floor(w)
-    (frac * 9.223372036854775807e18).toLong // ⌊frac·(2⁶³−1)⌋, no overflow
+    (frac * 9.223372036854775807e18).toLong
   }
 
   /** Rows of `df` emitted `copies(key, id)` times, with a 0-based `copy`
@@ -33,6 +37,8 @@ object Mixing {
       df: DataFrame, key: Column, id: Column,
       weights: Map[String, Double]): DataFrame = {
     require(weights.values.forall(w => w >= 0 && w.isFinite), "weights must be finite and >= 0")
+    require(!df.columns.contains("copy") && !df.columns.contains("__copies"),
+      "input must not carry a 'copy' or '__copies' column (the output reserves them)")
     // deterministic CASE order (sorted keys) so the plan is stable
     val sortedW = weights.toSeq.sortBy(_._1)
     val whole = sortedW.foldLeft(lit(0L)) { case (acc, (k, w)) =>
@@ -61,6 +67,8 @@ object Mixing {
       df: DataFrame, key: Column, id: Column, cost: Column,
       budgets: Map[String, Long]): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    require(!df.columns.contains("__run"),
+      "input must not carry a '__run' column (used internally)")
     val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (k, b)) =>
       when(key === k, lit(b)).otherwise(acc)
     }
