@@ -301,6 +301,42 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ivf.subsetOf(ivf)) // sanity
   }
 
+  test("full training-data pipeline composes: decontaminate -> dedup -> near-dup -> quality -> mix -> budget") {
+    // the end-to-end recipe a pipeline user would run, chained over one
+    // corpus: every stage's output feeds the next with no schema glue
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSet = base.filter(col("doc_id") < 10)
+    def run(parts: Int): Set[(Long, Long)] = {
+      val corpus = base.repartition(parts)
+      // 1. benchmark decontamination
+      val clean = Dedup.decontaminate(corpus, col("text"), evalSet, col("text"))
+      // 2. exact dedup (keep the lowest doc_id per content)
+      val keepIds = Dedup.exact(clean, col("text"), col("doc_id")).select("keep_id")
+      val exactDeduped = clean.join(keepIds, clean("doc_id") === keepIds("keep_id"))
+        .drop("keep_id")
+      // 3. fuzzy near-dup prune: drop the higher id of each verified pair
+      val cands = Dedup.minhashCandidates(exactDeduped, col("doc_id"), col("text"))
+      val losers = Dedup.jaccardVerify(cands, exactDeduped, col("doc_id"), col("text"),
+          minJaccard = 0.6)
+        .select(col("id_b").as("doc_id")).distinct()
+      val pruned = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+      // 4. quality gate
+      val quality = pruned.filter(TextOps.qualityScoreBp(col("text")) >= 2000)
+      // 5. mixing recipe + 6. per-source budget
+      val mixed = Mixing.stratifiedSample(quality, col("source"), col("doc_id"),
+        (0 until 20).map(i => s"src$i" -> 1.0).toMap)
+      val fin = Mixing.budgetCap(mixed.drop("copy"), col("source"), col("doc_id"),
+        col("n_chars"), (0 until 20).map(i => s"src$i" -> 100000L).toMap)
+      CacheTracker.releaseAll()
+      fin.select("doc_id", "n_chars").as[(Long, Long)].collect().toSet
+    }
+    val a = run(3)
+    assert(a.nonEmpty && a.size < 500, s"pipeline kept ${a.size} of 500")
+    assert(!a.exists(_._1 < 10), "eval docs must not survive decontamination")
+    val b = run(11)
+    assert(a == b, "the whole pipeline must be partition-invariant")
+  }
+
   test("decontaminate: eval docs and their near-dups removed, clean docs survive, no shuffle") {
     val d = docs(100).cache() // base 0..99 + near-dups 100..119 of docs 0..19
     val eval = d.filter(col("doc_id") < 10)
