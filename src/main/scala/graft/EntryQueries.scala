@@ -755,6 +755,15 @@ object EntryQueries {
   }
   def q34Sql: String = OracleSqlGen.q34Sql(0.6, 20)
 
+  /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
+    * the deterministic uniform order — all-integer, oracle-replayed. */
+  def q35Pack(s: SparkSession, dir: String): DataFrame =
+    Mixing.packBins(t(s, dir, "documents"), col("source"), col("doc_id"),
+        col("n_chars"), binSize = 2000L)
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  def q35Sql: String = OracleSqlGen.q35Sql(2000L)
+
   // ---- wiring ----
 
   val oracleQueries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -791,7 +800,8 @@ object EntryQueries {
     "q31_ann_kmeans" -> (q31AnnKmeans _, q31Sql),
     "q32_mixing" -> (q32Mixing _, q32Sql),
     "q33_budget" -> (q33Budget _, q33Sql),
-    "q34_decontaminate" -> (q34Decontaminate _, q34Sql))
+    "q34_decontaminate" -> (q34Decontaminate _, q34Sql),
+    "q35_pack" -> (q35Pack _, q35Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

@@ -405,6 +405,24 @@ object OracleSqlGen {
        |WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= $minJ""".stripMargin
   }
 
+  /** q35: shard-packing replay (Mixing.packBins): running SUM of n_chars in
+    * the per-source mix64-uniform order; bin = floor((run − cost)/binSize)
+    * — the bin of the row's start offset. Same window/order as q33. */
+  def q35Sql(binSize: Long): String =
+    s"""WITH mxd AS (SELECT doc_id, source, n_chars,
+       |  ${mix64Cols("CAST(doc_id AS UBIGINT)", "m")}
+       |  FROM documents),
+       |r AS (SELECT doc_id, source, n_chars,
+       |  SUM(n_chars) OVER (PARTITION BY source ORDER BY (m >> 1), doc_id) AS run
+       |  FROM mxd),
+       |b AS (SELECT source, n_chars,
+       |  CAST(((run - n_chars) - ((((run - n_chars) % $binSize) + $binSize) % $binSize))
+       |    // $binSize AS BIGINT) AS bin
+       |  FROM r)
+       |SELECT source, bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM b GROUP BY source, bin""".stripMargin
+
   /** q34: eval decontamination replay (Dedup.decontaminate): survivors =
     * corpus docs with NO eval doc at Jaccard ≥ minJ over hashed 4-gram
     * shingle sets (same rollHash kernel as q21), with the same lossless

@@ -79,6 +79,29 @@ object Mixing {
       .drop("__run")
   }
 
+  /** Deterministic shard packing: assign each row to a fixed-capacity bin
+    * per key — "pack each source into ~binSize-char training shards". Rows
+    * take the stable mix64-uniform order; a row's bin is the bin its START
+    * offset falls in (bin = ⌊(run − cost)/binSize⌋, so a row may overflow
+    * its bin by less than its own cost — doc-level packing, no splits).
+    * One window per key (single shuffle at scale; parallelism is per-key —
+    * a single giant key serializes its own packing, shard large sources by
+    * a composite key upstream if that matters). All-integer arithmetic →
+    * oracle-replayable (q35). */
+  def packBins(
+      df: DataFrame, key: Column, id: Column, cost: Column,
+      binSize: Long): DataFrame = {
+    require(binSize >= 1, "binSize must be >= 1")
+    require(!df.columns.contains("bin") && !df.columns.contains("__run"),
+      "input must not carry 'bin' or '__run' columns")
+    val u = shiftrightunsigned(st.mix64(id), 1)
+    val w = Window.partitionBy(key).orderBy(u.asc, id.asc)
+    df.withColumn("__run", sum(cost).over(w))
+      .withColumn("bin", ((col("__run") - cost) - pmod(col("__run") - cost, lit(binSize))) / binSize)
+      .withColumn("bin", col("bin").cast("long"))
+      .drop("__run")
+  }
+
   /** Deterministic holdout split: (train, heldout) by the same id-uniform —
     * a row lands in the holdout iff uniform₆₃(id) < ⌊testFrac·2⁶³⌋. The two
     * frames partition the input exactly and are stable across re-runs, so

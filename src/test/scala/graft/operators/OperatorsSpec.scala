@@ -400,6 +400,33 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(!a.exists(_._2 == "k2"))
   }
 
+  test("mixing: packBins == per-key start-offset model; bins contiguous") {
+    val rows = (0L until 240L).map(i => (i, s"k${i % 2}", 10L + (i % 13)))
+      .toDF("id", "key", "cost")
+    val binSize = 100L
+    def run(parts: Int) =
+      Mixing.packBins(rows.repartition(parts), col("key"), col("id"), col("cost"), binSize)
+        .select("id", "key", "bin").as[(Long, String, Long)].collect().toSet
+    val a = run(2); val b = run(9)
+    assert(a == b, "packing must not depend on partitioning")
+    val expected = (0 until 2).flatMap { k =>
+      val key = s"k$k"
+      val ordered = (0L until 240L).filter(_ % 2 == k)
+        .sortBy(i => (Kernels.mix64(i) >>> 1, i))
+      var run0 = 0L
+      ordered.map { i =>
+        val start = run0; run0 += 10L + (i % 13)
+        (i, key, start / binSize)
+      }
+    }.toSet
+    assert(a == expected)
+    // bins are contiguous 0..max per key
+    (0 until 2).foreach { k =>
+      val bins = a.filter(_._2 == s"k$k").map(_._3)
+      assert(bins == (0L to bins.max).toSet, s"holes in k$k bins")
+    }
+  }
+
   test("mixing: holdoutSplit partitions exactly and deterministically") {
     val rows = spark.range(2000).toDF("id")
     val (train, test1) = Mixing.holdoutSplit(rows, col("id"), 0.1)
