@@ -28,26 +28,26 @@ object ImageProfile {
       println(f"[img] $name: $s%.3f s (${n / s}%.0f imgs/s) [$r]")
     }
     if (!sparkOnly) {
-    time1("decode only", 3) {
-      var s = 0L; rows.foreach(r => s += ImageTable.decode(r.bytes).getWidth); s
-    }
-    time1("decode + phash64", 3) {
-      var s = 0L; rows.foreach(r => s += ImageOps.phash64(ImageTable.decode(r.bytes))); s
-    }
-    time1("decode + feature-extract (mean RGB)", 3) {
-      var s = 0L
-      rows.foreach { r =>
-        val img = ImageTable.decode(r.bytes)
-        var acc = 0L; var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) { acc += img.getRGB(x, y) & 0xFF; x += 1 }
-          y += 1
-        }
-        s += acc
+      time1("decode only", 3) {
+        var s = 0L; rows.foreach(r => s += ImageTable.decode(r.bytes).getWidth); s
       }
-      s
-    }
+      time1("decode + phash64", 3) {
+        var s = 0L; rows.foreach(r => s += ImageOps.phash64(ImageTable.decode(r.bytes))); s
+      }
+      time1("decode + feature-extract (mean RGB)", 3) {
+        var s = 0L
+        rows.foreach { r =>
+          val img = ImageTable.decode(r.bytes)
+          var acc = 0L; var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { acc += img.getRGB(x, y) & 0xFF; x += 1 }
+            y += 1
+          }
+          s += acc
+        }
+        s
+      }
     }
 
     // Spark path: synthesize → phashes (mapPartitions batch shape)
