@@ -353,14 +353,21 @@ object OracleSqlGen {
     * running total stays within the source's budget. Window ORDER BY
     * ((m >> 1), doc_id) matches Spark's (u asc, id asc) exactly — both
     * nonnegative integers. */
-  def q33Sql(budgets: Seq[(String, Long)]): String = {
-    val bCase = budgets.sortBy(_._1).map { case (k, b) => s"WHEN '$k' THEN $b" }.mkString(" ")
-    s"""WITH mxd AS (SELECT doc_id, source, n_chars,
+  /** WITH-fragment (no leading WITH) ending in `r`: documents with their
+    * per-source running n_chars sum in the mix64-uniform order — THE
+    * window definition both q33 and q35 replay (must match Mixing's Spark
+    * window `partitionBy(key).orderBy(u asc, id asc)` exactly). */
+  private def runCte: String =
+    s"""mxd AS (SELECT doc_id, source, n_chars,
        |  ${mix64Cols("CAST(doc_id AS UBIGINT)", "m")}
        |  FROM documents),
        |r AS (SELECT doc_id, source, n_chars,
        |  SUM(n_chars) OVER (PARTITION BY source ORDER BY (m >> 1), doc_id) AS run
-       |  FROM mxd)
+       |  FROM mxd)""".stripMargin
+
+  def q33Sql(budgets: Seq[(String, Long)]): String = {
+    val bCase = budgets.sortBy(_._1).map { case (k, b) => s"WHEN '$k' THEN $b" }.mkString(" ")
+    s"""WITH $runCte
        |SELECT source, COUNT(*) AS n_docs,
        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |FROM r WHERE run <= CASE source $bCase ELSE 0 END
@@ -409,12 +416,7 @@ object OracleSqlGen {
     * the per-source mix64-uniform order; bin = floor((run − cost)/binSize)
     * — the bin of the row's start offset. Same window/order as q33. */
   def q35Sql(binSize: Long): String =
-    s"""WITH mxd AS (SELECT doc_id, source, n_chars,
-       |  ${mix64Cols("CAST(doc_id AS UBIGINT)", "m")}
-       |  FROM documents),
-       |r AS (SELECT doc_id, source, n_chars,
-       |  SUM(n_chars) OVER (PARTITION BY source ORDER BY (m >> 1), doc_id) AS run
-       |  FROM mxd),
+    s"""WITH $runCte,
        |b AS (SELECT source, n_chars,
        |  CAST(((run - n_chars) - ((((run - n_chars) % $binSize) + $binSize) % $binSize))
        |    // $binSize AS BIGINT) AS bin

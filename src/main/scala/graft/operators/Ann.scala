@@ -81,8 +81,9 @@ object Ann {
 
   /** Floor division of exact integer sums (both engines replicate:
     * (s − pmod(s, n)) is divisible by n, and |s| ≪ 2⁵³ keeps the double
-    * intermediate exact). */
-  private def fdiv(s: Column, n: Column): Column =
+    * intermediate exact). Shared by the k-means updates and Mixing's
+    * bin assignment — ONE definition of the cross-engine floor-div trick. */
+  private[operators] def fdiv(s: Column, n: Column): Column =
     ((s - pmod(s, n)) / n).cast("long")
 
   /** Deterministic integer-quantized Lloyd's k-means over an embedding

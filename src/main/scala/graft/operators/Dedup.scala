@@ -118,11 +118,14 @@ object Dedup {
     */
   def exactStreaming(
       df: DataFrame, content: Column,
-      eventTime: String, watermark: String): DataFrame =
+      eventTime: String, watermark: String): DataFrame = {
+    require(!df.columns.contains("__content_h"),
+      "input must not carry a '__content_h' column (used internally)")
     df.withColumn("__content_h", md5(content.cast("binary")))
       .withWatermark(eventTime, watermark)
       .dropDuplicatesWithinWatermark("__content_h")
       .drop("__content_h")
+  }
 
   /** Character shingles of length n → array column (lowercased). */
   def shingles(text: Column, n: Int): Column = {

@@ -97,8 +97,7 @@ object Mixing {
     val u = shiftrightunsigned(st.mix64(id), 1)
     val w = Window.partitionBy(key).orderBy(u.asc, id.asc)
     df.withColumn("__run", sum(cost).over(w))
-      .withColumn("bin", ((col("__run") - cost) - pmod(col("__run") - cost, lit(binSize))) / binSize)
-      .withColumn("bin", col("bin").cast("long"))
+      .withColumn("bin", Ann.fdiv(col("__run") - cost, lit(binSize)))
       .drop("__run")
   }
 

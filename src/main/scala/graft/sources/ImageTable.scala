@@ -255,6 +255,16 @@ object ImageTable {
     spark.udf.register("img_frames",
       (b: Array[Byte], everyN: Int, maxFrames: Int) => sampleFramesStub(b, everyN, maxFrames))
     spark.udf.register("img_phash",
-      (b: Array[Byte]) => graft.operators.ImageOps.phash64(decode(b)))
+      // null (not a crash) for undecodable bytes — the SQL surface follows
+      // the batch operators' skip-corrupt-rows policy
+      (b: Array[Byte]) =>
+        try {
+          val img = decode(b)
+          if (img == null) null else java.lang.Long.valueOf(graft.operators.ImageOps.phash64(img))
+        } catch {
+          case _: java.io.IOException => null
+          case _: java.awt.color.CMMException => null
+          case _: IllegalArgumentException => null
+        })
   }
 }

@@ -73,7 +73,11 @@ object StreamingDedup {
     // horizon still pair. Watermark eviction remains the state bound.
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
-    val horizonMs = iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+    // month units are ambiguous (Spark's watermark-delay conversion differs
+    // from any fixed days-per-month here) — require exact units so the
+    // declared watermark IS the pairing window
+    require(iv.months == 0, "hammingPairsStream: use day/hour/minute watermark units, not months")
+    val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -125,11 +129,12 @@ object StreamingDedup {
         dq.append((e.id, e.sig, et))
         if (et > maxTs) maxTs = et
         if (dq.size > maxPerBucket) {
-          val evicted = dq.removeHead()
-          // a cap eviction of a still-in-horizon entry is a potential
-          // recall loss — never silent (the batch engine's principle)
-          if (math.abs(et - evicted._3) <= horizonMs)
-            droppedEntries.foreach(_.add(1L))
+          dq.removeHead()
+          // every entry in dq already satisfies ts ≥ wm − horizon (the
+          // keepFrom filter), so every cap eviction could still have paired
+          // with an admissible late arrival — count unconditionally
+          // (the batch engine's never-silent principle)
+          droppedEntries.foreach(_.add(1L))
         }
       }
       state.update(BucketState(dq.toList))
