@@ -274,17 +274,39 @@ object SpatialOps {
     }
   }
 
+  /** Morton-block id for a cell column: the high ⌈log₂ numPartitions⌉ bits
+    * of the cell's morton code — a PURE FUNCTION of the cell value, so
+    * placement derived from it is byte-stable across input parallelism AND
+    * range-clustered (each block is one contiguous z-order range). Shared
+    * by [[tileAssign]] and `SnapshotTable.commitBatch` — the one definition
+    * of the z-block layout. NOT `repartitionByRange`: its boundaries are
+    * sampled from the input layout and vary with parallelism, which breaks
+    * per-file byte stability.
+    */
+  def zBlock(cell: Column, res: Int, numPartitions: Int): Column = {
+    val mortonBits = 2 * res
+    // ceil(log2(numPartitions)) — Integer.numberOfLeadingZeros is 32-bit
+    val blockBits =
+      if (numPartitions <= 1) 0
+      else 32 - java.lang.Integer.numberOfLeadingZeros(numPartitions - 1)
+    val shiftBy = math.max(0, mortonBits - blockBits)
+    shiftrightunsigned(cell.bitwiseAND(lit(0x03FFFFFFFFFFFFFFL)), shiftBy)
+  }
+
   /** Deterministic tile assignment + z-order layout: tile = cell at
-    * `tileRes`; output repartitioned by tile range (morton/z-order key) and
-    * sorted within partitions → byte-stable files at any parallelism
-    * (partition count fixed by `numPartitions`, not by cluster size).
+    * `tileRes`; rows are placed by [[zBlock]] — a pure function of the tile
+    * value — and sorted within partitions, so each output partition (and
+    * each file written from it) is byte-identical at any input parallelism
+    * (partition count fixed by `numPartitions`, not by cluster size), and
+    * a partition's rows form a few contiguous z-order runs (tight per-file
+    * min/max tile stats downstream).
     */
   def tileAssign(
       df: DataFrame, lon: Column, lat: Column,
       tileRes: Int, numPartitions: Int, sortCols: Seq[String]): DataFrame = {
     val tiled = df.withColumn("tile", st.cellId(lon, lat, tileRes))
     tiled
-      .repartitionByRange(numPartitions, col("tile"))
+      .repartition(numPartitions, zBlock(col("tile"), tileRes, numPartitions))
       .sortWithinPartitions(col("tile") +: sortCols.map(col): _*)
   }
 }

@@ -143,13 +143,7 @@ object SnapshotTable {
       // each data file holds exactly one contiguous morton block: per-file
       // [min,max] stats become tight and readRange skips precisely,
       // independent of how block ids hash across shuffle tasks.
-      val mortonBits = 2 * zOrderRes
-      // ceil(log2(numPartitions)) — Integer.numberOfLeadingZeros is 32-bit
-      val blockBits =
-        if (numPartitions <= 1) 0
-        else 32 - java.lang.Integer.numberOfLeadingZeros(numPartitions - 1)
-      val shiftBy = math.max(0, mortonBits - blockBits)
-      val block = shiftrightunsigned(col(bucketCol).bitwiseAND(lit(0x03FFFFFFFFFFFFFFL)), shiftBy)
+      val block = graft.operators.SpatialOps.zBlock(col(bucketCol), zOrderRes, numPartitions)
       df.withColumn("__zblock", block)
         .repartition(numPartitions, col("__zblock"))
         .sortWithinPartitions(col("__zblock") +: (bucketCol +: sortCols).map(col): _*)

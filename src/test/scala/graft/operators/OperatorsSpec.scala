@@ -117,6 +117,37 @@ class SpatialOpsSpec extends AnyFunSuite {
     }
     assert(java.util.Arrays.equals(run(2), run(8)))
   }
+
+  test("tileAssign PER-FILE bytes are identical across parallelism (2 vs 8)") {
+    // The contract VERDICT r03 flagged: not just global row order — each
+    // WRITTEN FILE must be byte-identical whatever the input layout, which
+    // repartitionByRange (input-sampled boundaries) cannot guarantee.
+    // zBlock placement is a pure function of the tile value, so it can.
+    def run(parts: Int): Map[String, String] = {
+      val s2 = spark.newSession()
+      st.registerAll(s2)
+      val out = java.nio.file.Files.createTempDirectory("graft_tile_files").toString
+      val pts = s2.range(5000).repartition(parts).select(col("id"),
+        (pmod(st.mix64(col("id")), lit(360000L)).cast("double") / 1000.0 - 180.0).as("lon"),
+        (pmod(st.mix64(col("id") + 1000000), lit(170000L)).cast("double") / 1000.0 - 85.0).as("lat"))
+      SpatialOps.tileAssign(pts, col("lon"), col("lat"),
+          tileRes = 6, numPartitions = 8, sortCols = Seq("id"))
+        .write.mode("overwrite").parquet(out)
+      // file names carry a per-job UUID — key by the stable partition index
+      val files = new java.io.File(out).listFiles
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val m = files.map { f =>
+        val idx = f.getName.split("-")(1)
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val h = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+        idx -> h.map("%02x".format(_)).mkString
+      }.toMap
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      m
+    }
+    val a = run(2); val b = run(8)
+    assert(a.nonEmpty && a == b)
+  }
 }
 
 class DedupAnnSpec extends AnyFunSuite {
