@@ -23,14 +23,22 @@ object Bench {
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally graft.operators.CacheTracker.releaseAll()
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failing query must be VISIBLE in the bench line, not a silent
+      // tiny timing — carry the error message per query
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case t: Throwable =>
+          Some((Option(t.getMessage).getOrElse(t.getClass.getName))
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
+        finally graft.operators.CacheTracker.releaseAll()
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

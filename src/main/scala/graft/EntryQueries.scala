@@ -587,12 +587,21 @@ object EntryQueries {
         sum(when(col("ok_dims"), 1L).otherwise(0L)).as("n_dims_ok"))
   }
 
+  /** Temp snapshot-table dir, deleted at JVM exit (the returned DataFrames
+    * read it lazily, so the earliest safe delete point is shutdown — a
+    * Bench/Verify run no longer leaks a few hundred MB of /tmp per sample). */
+  private def tempSnapshotDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook(sources.SnapshotTable.deleteRec(p))
+    p.toString
+  }
+
   /** Resumable flagship: image batches → PIP join → tile assignment →
     * snapshot commits with per-bucket lineage; re-running skips committed
     * batches (exact resume). Output: the committed lineage metrics. */
   def q27SnapshotPipeline(s: SparkSession, dir: String): DataFrame = {
     ensureRegistered(s)
-    val table = java.nio.file.Files.createTempDirectory("graft_flagship").toString
+    val table = tempSnapshotDir("graft_flagship")
     val polys = districtPolygons(s)
     val n = Math.min(imageCount(dir), 20000L)
     val batches = 4
@@ -625,7 +634,7 @@ object EntryQueries {
     * top of the superset scan, like every manifest prune. */
   def q28ReadRange(s: SparkSession, dir: String): DataFrame = {
     ensureRegistered(s)
-    val table = java.nio.file.Files.createTempDirectory("graft_readrange").toString
+    val table = tempSnapshotDir("graft_readrange")
     val n = Math.min(imageCount(dir), 20000L)
     val batches = 2
     (0 until batches).foreach { b =>

@@ -35,11 +35,11 @@ object Ann {
   /** Exact quantized scoring + per-query top-k over a (id, emb, q_id,
     * q_emb) candidate frame — the shared tail of every ANN variant
     * (deterministic: score desc, ties broken by id). */
-  private def scoreTopK(cands: DataFrame, k: Int): DataFrame = {
+  private def scoreTopK(cands: DataFrame, k: Int, scale: Int = 1000): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
     cands
       .filter(col("id") =!= col("q_id"))
-      .withColumn("score", quantizedDot(col("emb"), col("q_emb")))
+      .withColumn("score", quantizedDot(col("emb"), col("q_emb"), scale))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "id", "score", "rank")
@@ -186,7 +186,9 @@ object Ann {
         Window.partitionBy("q_id").orderBy(col("cd"), col("bucket"))))
       .filter(col("rk") <= probes)
       .select(col("q_id"), col("q_emb"), col("bucket").cast("long").as("bucket"))
-    scoreTopK(c.join(broadcast(probed), "bucket"), k)
+    // scale threads all the way to final scoring — training, probing and
+    // ranking use ONE quantization (rankings stay consistent off-default)
+    scoreTopK(c.join(broadcast(probed), "bucket"), k, scale)
   }
 
   /** IVF-style ANN: corpus pre-assigned to `nBuckets` coarse buckets by

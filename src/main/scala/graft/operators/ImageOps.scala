@@ -153,8 +153,11 @@ object ImageOps {
     var i = 1
     while (i < K * K) { mean += coef(i); i += 1 }
     mean /= (K * K - 1)
+    // classic pHash: the DC coefficient (i=0) is excluded — it is almost
+    // always above the AC mean, so including it burns a near-constant bit.
+    // Bit 0 stays 0; the hash carries 63 discriminating bits.
     var hash = 0L
-    i = 0
+    i = 1
     while (i < K * K) {
       if (coef(i) > mean) hash |= (1L << i)
       i += 1

@@ -63,6 +63,15 @@ object Mixing {
     * dropped. One window over (key) — at scale this is a single shuffle on
     * the key, and the kept set is identical across partitionings/re-runs.
     */
+  /** Row-level cost guard: a negative cost makes the running sum
+    * non-monotone (the kept set stops being a prefix of the uniform order;
+    * packBins could emit negative bins) — fail loudly instead. One branch
+    * per row, codegen'd. */
+  private def checkedCost(cost: Column): Column =
+    when(cost < 0, raise_error(
+      concat(lit("Mixing: cost must be >= 0, got "), cost.cast("string"))))
+      .otherwise(cost)
+
   def budgetCap(
       df: DataFrame, key: Column, id: Column, cost: Column,
       budgets: Map[String, Long]): DataFrame = {
@@ -74,7 +83,7 @@ object Mixing {
     }
     val u = shiftrightunsigned(st.mix64(id), 1)
     val w = Window.partitionBy(key).orderBy(u.asc, id.asc)
-    df.withColumn("__run", sum(cost).over(w))
+    df.withColumn("__run", sum(checkedCost(cost)).over(w))
       .filter(col("__run") <= budget)
       .drop("__run")
   }
@@ -96,7 +105,7 @@ object Mixing {
       "input must not carry 'bin' or '__run' columns")
     val u = shiftrightunsigned(st.mix64(id), 1)
     val w = Window.partitionBy(key).orderBy(u.asc, id.asc)
-    df.withColumn("__run", sum(cost).over(w))
+    df.withColumn("__run", sum(checkedCost(cost)).over(w))
       .withColumn("bin", Ann.fdiv(col("__run") - cost, lit(binSize)))
       .drop("__run")
   }

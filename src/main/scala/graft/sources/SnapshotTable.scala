@@ -252,7 +252,7 @@ object SnapshotTable {
     (snap.batches.map(_.rows).sum, snap.batches.map(_.fingerprint).foldLeft(0L)(_ ^ _))
   }
 
-  private def deleteRec(p: Path): Unit = {
+  private[graft] def deleteRec(p: Path): Unit = {
     if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRec)
     Files.deleteIfExists(p)
   }

@@ -431,6 +431,18 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(!a.exists(_._2 == "k2"))
   }
 
+  test("mixing: negative cost fails loudly (budgetCap and packBins)") {
+    val rows = Seq((1L, "k", 10L), (2L, "k", -5L)).toDF("id", "key", "cost")
+    val e1 = intercept[Exception] {
+      Mixing.budgetCap(rows, col("key"), col("id"), col("cost"), Map("k" -> 100L)).collect()
+    }
+    assert(e1.getMessage.contains("cost must be >= 0"))
+    val e2 = intercept[Exception] {
+      Mixing.packBins(rows, col("key"), col("id"), col("cost"), 100L).collect()
+    }
+    assert(e2.getMessage.contains("cost must be >= 0"))
+  }
+
   test("mixing: packBins == per-key start-offset model; bins contiguous") {
     val rows = (0L until 240L).map(i => (i, s"k${i % 2}", 10L + (i % 13)))
       .toDF("id", "key", "cost")
