@@ -764,6 +764,20 @@ object EntryQueries {
   }
   def q34Sql: String = OracleSqlGen.q34Sql(0.6, 20)
 
+  /** LSH-path decontamination ([[Dedup.decontaminateLarge]]) — the
+    * non-broadcastable-eval-set variant, same rollup as q34. The oracle is
+    * the EXACT NOT-EXISTS contract: passing pins LSH candidate recall at
+    * 100% on the gate corpus (any missed contaminated row hash-mismatches
+    * loudly), on top of the spec-pinned equality with [[q34Decontaminate]]. */
+  def q36DecontaminateLarge(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.decontaminateLarge(d, col("doc_id"), col("text"),
+        d.filter(col("doc_id") < 20), col("text"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+  def q36Sql: String = OracleSqlGen.q34Sql(0.6, 20)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -810,7 +824,8 @@ object EntryQueries {
     "q32_mixing" -> (q32Mixing _, q32Sql),
     "q33_budget" -> (q33Budget _, q33Sql),
     "q34_decontaminate" -> (q34Decontaminate _, q34Sql),
-    "q35_pack" -> (q35Pack _, q35Sql))
+    "q35_pack" -> (q35Pack _, q35Sql),
+    "q36_decontaminate_large" -> (q36DecontaminateLarge _, q36Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

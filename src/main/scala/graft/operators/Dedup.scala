@@ -167,10 +167,8 @@ object Dedup {
     val sig = df.select(id.as("id"), minhash(text, shingleLen, bands * rowsPerBand).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheTracker.register(sig)
-    val banded = sig.select(col("id"), posexplode(
-      array((0 until bands).map { b =>
-        xxhash64(concat_ws(",", (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
-      }: _*)).as(Seq("band", "bh")))
+    val banded = sig.select(col("id"),
+      posexplode(bandHashArray(col("sig"), bands, rowsPerBand)).as(Seq("band", "bh")))
     // count first: the (band,bh) histogram decides which buckets survive the
     // cap; both aggregations shuffle on the same key, so AQE reuses the
     // exchange and the oversized buckets never reach collect_list.
@@ -231,8 +229,8 @@ object Dedup {
     * scanned once map-side with the lossless size-ratio prefilter
     * (J ≥ t ⇒ |A|/|B| ∈ [t, 1/t]) ahead of the exact sorted-merge Jaccard
     * kernel — NO shuffle of the corpus at any point. For eval sets too
-    * large to broadcast, run [[minhashCandidates]] over the union and
-    * anti-join instead. */
+    * large to broadcast, use [[decontaminateLarge]] (LSH candidate path,
+    * identical verification). */
   def decontaminate(
       corpus: DataFrame, text: Column,
       evalDf: DataFrame, evalText: Column,
@@ -252,6 +250,94 @@ object Dedup {
       size(col("__esh")).cast("long") * den >= size(col("__sh")).cast("long") * num &&
       st.jaccardSorted(col("__sh"), col("__esh")) >= minJaccard
     sized.join(ev, cond, "left_anti").drop("__sh")
+  }
+
+  /** Per-signature band hashes: band b = xxhash64 over sig rows
+    * [b·rowsPerBand, (b+1)·rowsPerBand) — ONE definition shared by
+    * [[minhashCandidates]] and [[decontaminateLarge]]. */
+  private def bandHashArray(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
+    }: _*)
+
+  /** LSH-path eval-set decontamination for eval sets too large to
+    * broadcast — the at-scale fallback [[decontaminate]] documents. Both
+    * sides are MinHash-banded; candidates are the CROSS-SIDE band-bucket
+    * matches (an equi-join on (band, hash) — deliberately not the
+    * corpus∪eval self-pair generator, whose volume would be dominated by
+    * corpus-corpus pairs this operator never needs); candidates are then
+    * verified with the SAME lossless size-ratio prefilter + exact
+    * sorted-merge Jaccard as [[decontaminate]], and verified corpus ids are
+    * anti-joined away.
+    *
+    * Scale shape: two corpus scans (band pass; shingle pass over candidate
+    * suspects only, reached through a semi-join that broadcasts when the
+    * candidate id set is small — the healthy case), one shuffle on (band,
+    * hash), no broadcast of the eval set anywhere. Per-corpus-row join
+    * fan-out is bounded by bands × maxEvalBucket.
+    *
+    * Semantics vs [[decontaminate]]: identical verification; candidate
+    * recall is the LSH curve 1−(1−s^rowsPerBand)^bands (near-1 at the
+    * contamination similarities that matter — equality on the gate corpus
+    * is spec-pinned). Oversized eval buckets (> maxEvalBucket members
+    * sharing a band hash — degenerate boilerplate) fail SAFE: every corpus
+    * row hitting one is dropped outright. Decontamination may over-drop;
+    * it must never silently under-drop. */
+  def decontaminateLarge(
+      corpus: DataFrame, id: Column, text: Column,
+      evalDf: DataFrame, evalText: Column,
+      shingleLen: Int = 4, minJaccard: Double = 0.6,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      maxEvalBucket: Int = 4096): DataFrame = {
+    import graft.functions.st
+    require(minJaccard > 0 && minJaccard <= 1, "minJaccard in (0, 1]")
+    require(bands >= 1 && rowsPerBand >= 1 && maxEvalBucket >= 1,
+      "bands, rowsPerBand, maxEvalBucket must be >= 1")
+    val perms = bands * rowsPerBand
+    val cBand = corpus.select(id.as("__cid"),
+      posexplode(bandHashArray(minhash(text, shingleLen, perms), bands, rowsPerBand))
+        .as(Seq("band", "bh")))
+    // eval key = content hash: requires no caller-supplied id, and identical
+    // eval texts collapse to one verification row
+    val eKeyed = evalDf.select(xxhash64(evalText.cast("string")).as("__eid"),
+      evalText.as("__etext")).dropDuplicates("__eid")
+    val eBand = eKeyed.select(col("__eid"),
+      posexplode(bandHashArray(minhash(col("__etext"), shingleLen, perms), bands, rowsPerBand))
+        .as(Seq("band", "bh")))
+    val eCounts = eBand.groupBy("band", "bh").agg(count(lit(1)).as("__en"))
+    // fail-safe cap: corpus rows touching an oversized eval bucket are
+    // dropped without verification (conservative over-drop, never silent
+    // under-drop)
+    val overIds = cBand
+      .join(eCounts.filter(col("__en") > maxEvalBucket).select("band", "bh"),
+        Seq("band", "bh"), "left_semi")
+      .select("__cid").distinct()
+    val keptE = eBand.join(
+      eCounts.filter(col("__en") <= maxEvalBucket).select("band", "bh"),
+      Seq("band", "bh"), "left_semi")
+    val cands = cBand.join(keptE, Seq("band", "bh"))
+      .select("__cid", "__eid").distinct()
+    // exact verify on suspects only: shingles computed after the semi-join,
+    // so the full corpus never shuffles its text for verification
+    val suspects = corpus
+      .join(cands.select("__cid").distinct(), id === col("__cid"), "left_semi")
+    val sSh = suspects.select(id.as("__cid"),
+      st.shingleHashes(text, shingleLen).as("__sh"))
+    val eSh = eKeyed.select(col("__eid"),
+      st.shingleHashes(col("__etext"), shingleLen).as("__esh"))
+    val den = RatioDen
+    val num = ratioNum(minJaccard)
+    val contaminated = cands
+      .join(sSh, "__cid")
+      .join(eSh, "__eid")
+      .filter(
+        size(col("__sh")).cast("long") * den >= size(col("__esh")).cast("long") * num &&
+        size(col("__esh")).cast("long") * den >= size(col("__sh")).cast("long") * num &&
+        st.jaccardSorted(col("__sh"), col("__esh")) >= minJaccard)
+      .select("__cid").distinct()
+    val bad = contaminated.unionByName(overIds).distinct()
+    corpus.join(bad, id === col("__cid"), "left_anti")
   }
 
   /** 64-bit SimHash over whitespace tokens — single-pass kernel expression

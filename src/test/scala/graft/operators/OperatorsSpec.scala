@@ -382,6 +382,48 @@ class DedupAnnSpec extends AnyFunSuite {
     (110L until 120L).foreach(i => assert(kept.contains(i)))
   }
 
+  test("decontaminateLarge == decontaminate (docs corpus and sf0.001 documents); no eval broadcast") {
+    // 1. synthetic corpus with planted near-dups
+    val d = docs(100).cache()
+    val eval = d.filter(col("doc_id") < 10).select(col("text"))
+    val exact = Dedup.decontaminate(d, col("text"), eval, col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    val outL = Dedup.decontaminateLarge(d, col("doc_id"), col("text"), eval, col("text"))
+    val large = outL.select("doc_id").as[Long].collect().toSet
+    assert(large == exact, "LSH path must equal the exact broadcast path on this corpus")
+    // the too-big-to-broadcast contract: no broadcast nested-loop anywhere
+    // (the whole point of this operator); candidate generation is equi-joins
+    assert(!outL.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "decontaminateLarge must never broadcast-NL the eval set")
+
+    // 2. the q34 corpus (sf0.001 documents table), eval = doc_id < 20
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ev2 = base.filter(col("doc_id") < 20).select(col("text"))
+    val exact2 = Dedup.decontaminate(base, col("text"), ev2, col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    val large2 = Dedup.decontaminateLarge(base, col("doc_id"), col("text"), ev2, col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(large2 == exact2, "LSH path must equal the exact path on the q34 corpus")
+  }
+
+  test("decontaminateLarge oversized eval buckets fail SAFE (over-drop, never under-drop)") {
+    val d = docs(50).cache()
+    // boilerplate eval set: many copies of doc 0's text -> every band bucket
+    // it occupies exceeds maxEvalBucket=1 after distinct-by-content collapses
+    // copies... so use two distinct contaminated texts per bucket instead:
+    // doc 0 and its planted near-dup (doc 50) share band buckets
+    val eval = d.filter(col("doc_id") === 0 || col("doc_id") === 50).select(col("text"))
+    val out = Dedup.decontaminateLarge(d, col("doc_id"), col("text"), eval, col("text"),
+      maxEvalBucket = 1)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    // rows matching the oversized buckets are dropped outright — doc 0 and
+    // doc 50 must be gone even though verification never ran for them
+    assert(!kept.contains(0L) && !kept.contains(50L),
+      "corpus rows in oversized eval buckets must be dropped, not silently kept")
+    // unrelated docs survive
+    assert(kept.contains(25L) && kept.contains(40L))
+  }
+
   test("mixing: stratifiedSample == per-row integer model; partition-invariant") {
     val rows = (0L until 400L).map(i => (i, s"k${i % 4}")).toDF("id", "key")
     val weights = Map("k0" -> 3.0, "k1" -> 1.6, "k2" -> 0.3) // k3 dropped
