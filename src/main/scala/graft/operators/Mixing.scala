@@ -94,8 +94,8 @@ object Mixing {
     * offset falls in (bin = ⌊(run − cost)/binSize⌋, so a row may overflow
     * its bin by less than its own cost — doc-level packing, no splits).
     * One window per key (single shuffle at scale; parallelism is per-key —
-    * a single giant key serializes its own packing, shard large sources by
-    * a composite key upstream if that matters). All-integer arithmetic →
+    * a single giant key serializes its own packing, shard large sources
+    * with [[shardKey]] if that matters). All-integer arithmetic →
     * oracle-replayable (q35). */
   def packBins(
       df: DataFrame, key: Column, id: Column, cost: Column,
@@ -108,6 +108,29 @@ object Mixing {
     df.withColumn("__run", sum(checkedCost(cost)).over(w))
       .withColumn("bin", Ann.fdiv(col("__run") - cost, lit(binSize)))
       .drop("__run")
+  }
+
+  /** Composite shard key for giant sources: one dominant key serializes its
+    * own window partition in [[budgetCap]]/[[packBins]] (the per-key window
+    * is a single task) — the documented skew class. `shard =
+    * pmod(mix64(id), nShards)` is a pure function of id, so the composite
+    * key is deterministic and partition-invariant; a window over it runs
+    * nShards× parallel for that key. Each shard packs/caps independently:
+    * the binSize overflow rule holds per shard, total bin waste is at most
+    * one partial bin per shard (spec-pinned), and for budget caps pair with
+    * [[shardBudgets]]. */
+  def shardKey(key: Column, id: Column, nShards: Int): Column = {
+    require(nShards >= 1, "nShards must be >= 1")
+    concat_ws("#", key, pmod(st.mix64(id), lit(nShards.toLong)).cast("string"))
+  }
+
+  /** Per-shard budget map for [[budgetCap]] over [[shardKey]] keys: each of
+    * the nShards sub-keys gets ⌊budget/nShards⌋ (the summed cap is within
+    * nShards−1 of the original; the uniform id-shard makes per-shard spend
+    * near-equal, so the cap error stays that small in practice). */
+  def shardBudgets(budgets: Map[String, Long], nShards: Int): Map[String, Long] = {
+    require(nShards >= 1, "nShards must be >= 1")
+    for { (k, b) <- budgets; i <- 0 until nShards } yield s"$k#$i" -> b / nShards
   }
 
   /** Deterministic holdout split: (train, heldout) by the same id-uniform —

@@ -512,6 +512,67 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("mixing: shardKey splits a giant key into nShards parallel windows; capacity preserved") {
+    val nShards = 4
+    val binSize = 100L
+    // one dominant key: unsharded, its packing window is a single task
+    val rows = (0L until 1000L).map(i => (i, "giant", 10L + (i % 13)))
+      .toDF("id", "key", "cost")
+    val sharded = Mixing.packBins(rows, Mixing.shardKey(col("key"), col("id"), nShards),
+      col("id"), col("cost"), binSize)
+    val got = sharded.select(Mixing.shardKey(col("key"), col("id"), nShards).as("sk"),
+        col("id"), col("bin"))
+      .as[(String, Long, Long)].collect()
+    // every row present exactly once; shard is a pure function of id
+    assert(got.length == 1000 && got.map(_._2).toSet == (0L until 1000L).toSet)
+    // window parallelism: exactly nShards composite keys
+    assert(got.map(_._1).toSet.size == nShards)
+    // model replay per shard: same start-offset rule within each shard
+    val expected = (0 until nShards).flatMap { s =>
+      val ordered = (0L until 1000L)
+        .filter(i => ((Kernels.mix64(i) % nShards) + nShards) % nShards == s)
+        .sortBy(i => (Kernels.mix64(i) >>> 1, i))
+      var run0 = 0L
+      ordered.map { i =>
+        val start = run0; run0 += 10L + (i % 13)
+        (s"giant#$s", i, start / binSize)
+      }
+    }.toSet
+    assert(got.toSet == expected)
+    // equivalent capacity: per (shard, bin) the start-offset rule bounds the
+    // bin total by binSize + its overflow row's cost; total bin count wastes
+    // at most one partial bin per shard vs the unsharded packing
+    val unsharded = Mixing.packBins(rows, col("key"), col("id"), col("cost"), binSize)
+      .select("bin").as[Long].collect()
+    val binsU = unsharded.max + 1
+    val binsS = got.groupBy(_._1).map { case (_, rs) => rs.map(_._3).max + 1 }.sum
+    assert(binsS <= binsU + nShards,
+      s"sharded packing wastes too much capacity: $binsS bins vs $binsU + $nShards")
+    // start-offset rule: a bin's total is < binSize + its last row's cost
+    got.groupBy(r => (r._1, r._3)).foreach { case ((sk, bin), rs) =>
+      val costs = rs.map { case (_, i, _) => 10L + (i % 13) }
+      assert(costs.sum < binSize + costs.max,
+        s"bin ($sk, $bin) violates the overflow rule: ${costs.sum}")
+    }
+  }
+
+  test("mixing: budgetCap over shardKey + shardBudgets caps within nShards rounding of the plain cap") {
+    val nShards = 4
+    val rows = (0L until 1000L).map(i => (i, "giant", 10L + (i % 7)))
+      .toDF("id", "key", "cost")
+    val budgets = Map("giant" -> 3000L)
+    val plain = Mixing.budgetCap(rows, col("key"), col("id"), col("cost"), budgets)
+      .agg(sum("cost")).as[Long].collect().head
+    val shardedSpend = Mixing.budgetCap(rows,
+        Mixing.shardKey(col("key"), col("id"), nShards), col("id"), col("cost"),
+        Mixing.shardBudgets(budgets, nShards))
+      .agg(sum("cost")).as[Long].collect().head
+    // per-shard floors + uniform shard fill keep total spend near the cap
+    assert(shardedSpend <= budgets("giant"))
+    assert(shardedSpend >= plain - nShards * 20L,
+      s"sharded spend $shardedSpend too far below plain $plain")
+  }
+
   test("mixing: holdoutSplit partitions exactly and deterministically") {
     val rows = spark.range(2000).toDF("id")
     val (train, test1) = Mixing.holdoutSplit(rows, col("id"), 0.1)
