@@ -122,11 +122,35 @@ object ImageTable {
     * PNG/JPEG magic and reuses one cached ImageReader per format —
     * `ImageIO.read` performs a service-registry scan and allocates a fresh
     * reader + stream per call, which both costs ~tens of µs and contends
-    * across decode threads. One instance per partition, NOT thread-safe.
-    * Unknown formats fall back to [[decode]]. */
+    * across decode threads. Decodes into a POOLED destination raster
+    * (`ImageReadParam.setDestination` into a per-(format,w,h) reused
+    * BufferedImage), eliminating the per-decode pixel-buffer allocation
+    * that was the measured residual in decode scaling (BENCH §0b).
+    *
+    * OWNERSHIP: the returned image is owned by the decoder and valid only
+    * until the next `decode` call — consume it immediately (hash, resize,
+    * compare), never buffer it across iterations. One instance per
+    * partition, NOT thread-safe. Unknown formats fall back to [[decode]]. */
   final class ReusableDecoder {
     private var png: javax.imageio.ImageReader = _
     private var jpg: javax.imageio.ImageReader = _
+    private val pool = new java.util.HashMap[Long, BufferedImage]()
+    private def destFor(r: javax.imageio.ImageReader, fmtKey: Long): BufferedImage = {
+      val w = r.getWidth(0); val h = r.getHeight(0)
+      if (w > 0xFFFFFF || h > 0xFFFFFF) return null
+      val key = (fmtKey << 48) | (w.toLong << 24) | h.toLong
+      var img = pool.get(key)
+      if (img == null && pool.size < 16) { // bounded pool; odd sizes decode unpooled
+        val types = r.getImageTypes(0)
+        // the first advertised type is what a default read() allocates —
+        // pooled pixels are bit-identical to the unpooled path
+        if (types.hasNext) {
+          img = types.next().createBufferedImage(w, h)
+          pool.put(key, img)
+        }
+      }
+      img
+    }
     def decode(bytes: Array[Byte]): BufferedImage = {
       val isPng = bytes.length > 8 && (bytes(0) & 0xFF) == 0x89 &&
         bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte
@@ -143,8 +167,16 @@ object ImageTable {
         }
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new ByteArrayInputStream(bytes))
-      try { r.setInput(iis, true, true); r.read(0) }
-      finally iis.close()
+      try {
+        r.setInput(iis, true, true)
+        val dest = destFor(r, if (isPng) 0L else 1L)
+        if (dest == null) r.read(0)
+        else {
+          val p = r.getDefaultReadParam
+          p.setDestination(dest)
+          r.read(0, p)
+        }
+      } finally iis.close()
     }
   }
 
