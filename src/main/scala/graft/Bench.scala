@@ -16,7 +16,10 @@ object Bench {
     // first-use costs the mid-list queries don't pay (a range-only warmup
     // left ~2.5s of parquet/exchange init on whichever query ran first)
     spark.range(1000).selectExpr("sum(id)").collect()
+    // SPARK_GRAFT_ONLY=q21_minhash_dedup,q22_simhash — targeted A/B sampling
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       finally graft.operators.CacheTracker.releaseAll()

@@ -162,8 +162,11 @@ object Dedup {
       shingleLen: Int = 4, bands: Int = 8, rowsPerBand: Int = 4,
       minBands: Int = 2, minSigFrac: Double = 0.35,
       maxBucket: Int = 4096, chunkSize: Int = DefaultChunkSize): DataFrame = {
-    // the signature frame feeds the self-join twice plus the two estimate
-    // joins — cache it or the per-doc MinHash runs 4x
+    // the signature frame feeds the banding plus the two estimate joins —
+    // cache it or the per-doc MinHash kernel runs 3x. (A/B rejected the
+    // carry-sig-in-the-bucket-struct alternative: the 32-long payload rides
+    // the (band,bh) shuffle bands× per doc — ~3× the shuffled bytes of the
+    // skinny banding + two sig joins, and measurably slower at sf0.1.)
     val sig = df.select(id.as("id"), minhash(text, shingleLen, bands * rowsPerBand).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheTracker.register(sig)
