@@ -778,6 +778,20 @@ object EntryQueries {
   }
   def q36Sql: String = OracleSqlGen.q34Sql(0.6, 20)
 
+  /** Giant-key sharding recipe ([[Mixing.shardKey]] + [[Mixing.packBins]]):
+    * each source split into 4 deterministic id-shards, packed per shard —
+    * the skew answer for a dominant source whose window would otherwise
+    * serialize. nShards is a power of two so the oracle replays the shard
+    * as a bit mask of the unsigned mix64. */
+  def q37PackSharded(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("skey", Mixing.shardKey(col("source"), col("doc_id"), 4))
+    Mixing.packBins(d, col("skey"), col("doc_id"), col("n_chars"), binSize = 2000L)
+      .groupBy("skey", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+  def q37Sql: String = OracleSqlGen.q37Sql(2000L, 4)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -825,7 +839,8 @@ object EntryQueries {
     "q33_budget" -> (q33Budget _, q33Sql),
     "q34_decontaminate" -> (q34Decontaminate _, q34Sql),
     "q35_pack" -> (q35Pack _, q35Sql),
-    "q36_decontaminate_large" -> (q36DecontaminateLarge _, q36Sql))
+    "q36_decontaminate_large" -> (q36DecontaminateLarge _, q36Sql),
+    "q37_pack_sharded" -> (q37PackSharded _, q37Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

@@ -425,6 +425,33 @@ object OracleSqlGen {
        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |FROM b GROUP BY source, bin""".stripMargin
 
+  /** q37: packBins over shardKey(source, doc_id, nShards) — the giant-key
+    * sharding recipe replayed end-to-end. nShards MUST be a power of two
+    * here: Spark's `pmod(mix64(id), 2^k)` equals `(m & (2^k−1))` on the
+    * unsigned DuckDB replay (low bits are sign-independent), so the shard
+    * needs no signed-modulo emulation. Same window order as q33/q35 but
+    * partitioned by the composite key. */
+  def q37Sql(binSize: Long, nShards: Int): String = {
+    require(Integer.bitCount(nShards) == 1, "nShards must be a power of two")
+    val mask = nShards - 1
+    s"""WITH mxd AS (SELECT doc_id, source, n_chars,
+       |  ${mix64Cols("CAST(doc_id AS UBIGINT)", "m")}
+       |  FROM documents),
+       |sk AS (SELECT doc_id, n_chars, m,
+       |  source || '#' || CAST((m & $mask) AS VARCHAR) AS skey
+       |  FROM mxd),
+       |r AS (SELECT skey, n_chars,
+       |  SUM(n_chars) OVER (PARTITION BY skey ORDER BY (m >> 1), doc_id) AS run
+       |  FROM sk),
+       |b AS (SELECT skey, n_chars,
+       |  CAST(((run - n_chars) - ((((run - n_chars) % $binSize) + $binSize) % $binSize))
+       |    // $binSize AS BIGINT) AS bin
+       |  FROM r)
+       |SELECT skey, bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM b GROUP BY skey, bin""".stripMargin
+  }
+
   /** q34: eval decontamination replay (Dedup.decontaminate): survivors =
     * corpus docs with NO eval doc at Jaccard ≥ minJ over hashed 4-gram
     * shingle sets (same rollHash kernel as q21), with the same lossless
