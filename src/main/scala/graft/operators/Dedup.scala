@@ -309,18 +309,25 @@ object Dedup {
       posexplode(bandHashArray(minhash(col("__etext"), shingleLen, perms), bands, rowsPerBand))
         .as(Seq("band", "bh")))
     val eCounts = eBand.groupBy("band", "bh").agg(count(lit(1)).as("__en"))
-    // fail-safe cap: corpus rows touching an oversized eval bucket are
-    // dropped without verification (conservative over-drop, never silent
-    // under-drop)
-    val overIds = cBand
-      .join(eCounts.filter(col("__en") > maxEvalBucket).select("band", "bh"),
+    // ONE eval-side frame: in-cap buckets keep their members; an oversized
+    // bucket (degenerate boilerplate) collapses to a single flagged row —
+    // membership is all the fail-safe drop needs (corpus rows touching it
+    // are dropped without verification: over-drop, never silent under-drop),
+    // and the collapse bounds the join fan-out at the cap
+    val evalSide = eBand
+      .join(eCounts.filter(col("__en") <= maxEvalBucket).select("band", "bh"),
         Seq("band", "bh"), "left_semi")
-      .select("__cid").distinct()
-    val keptE = eBand.join(
-      eCounts.filter(col("__en") <= maxEvalBucket).select("band", "bh"),
-      Seq("band", "bh"), "left_semi")
-    val cands = cBand.join(keptE, Seq("band", "bh"))
-      .select("__cid", "__eid").distinct()
+      .select(col("band"), col("bh"), col("__eid"), lit(false).as("__over"))
+      .unionByName(eCounts.filter(col("__en") > maxEvalBucket)
+        .select(col("band"), col("bh"), lit(null).cast("long").as("__eid"),
+          lit(true).as("__over")))
+    // ONE (band, hash) shuffle join against the single corpus band pass;
+    // the candidate frame is small (persisted — it feeds the suspect
+    // semi-join AND the verify join, and must not re-run the band join)
+    val cands = cBand.join(evalSide, Seq("band", "bh"))
+      .select("__cid", "__eid", "__over").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheTracker.register(cands)
     // exact verify on suspects only: shingles computed after the semi-join,
     // so the full corpus never shuffles its text for verification
     val suspects = corpus
@@ -331,15 +338,16 @@ object Dedup {
       st.shingleHashes(col("__etext"), shingleLen).as("__esh"))
     val den = RatioDen
     val num = ratioNum(minJaccard)
-    val contaminated = cands
+    // flagged (oversized-bucket) rows pass unconditionally; the left join
+    // keeps their null __eid
+    val bad = cands
       .join(sSh, "__cid")
-      .join(eSh, "__eid")
-      .filter(
+      .join(eSh, Seq("__eid"), "left")
+      .filter(col("__over") || (
         size(col("__sh")).cast("long") * den >= size(col("__esh")).cast("long") * num &&
         size(col("__esh")).cast("long") * den >= size(col("__sh")).cast("long") * num &&
-        st.jaccardSorted(col("__sh"), col("__esh")) >= minJaccard)
+        st.jaccardSorted(col("__sh"), col("__esh")) >= minJaccard))
       .select("__cid").distinct()
-    val bad = contaminated.unionByName(overIds).distinct()
     corpus.join(bad, id === col("__cid"), "left_anti")
   }
 
