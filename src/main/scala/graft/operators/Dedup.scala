@@ -302,12 +302,20 @@ object Dedup {
       posexplode(bandHashArray(minhash(text, shingleLen, perms), bands, rowsPerBand))
         .as(Seq("band", "bh")))
     // eval key = content hash: requires no caller-supplied id, and identical
-    // eval texts collapse to one verification row
+    // eval texts collapse to one verification row. The eval side is read by
+    // four consumers (band pass ×2 branches, bucket counts, shingle frame) —
+    // persist it (eval is big enough to forbid broadcast, small enough to
+    // cache; the alternative re-scans the eval source and re-runs the
+    // MinHash kernel per consumer)
     val eKeyed = evalDf.select(xxhash64(evalText.cast("string")).as("__eid"),
       evalText.as("__etext")).dropDuplicates("__eid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheTracker.register(eKeyed)
     val eBand = eKeyed.select(col("__eid"),
       posexplode(bandHashArray(minhash(col("__etext"), shingleLen, perms), bands, rowsPerBand))
         .as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheTracker.register(eBand)
     val eCounts = eBand.groupBy("band", "bh").agg(count(lit(1)).as("__en"))
     // ONE eval-side frame: in-cap buckets keep their members; an oversized
     // bucket (degenerate boilerplate) collapses to a single flagged row —
