@@ -792,6 +792,16 @@ object EntryQueries {
   }
   def q37Sql: String = OracleSqlGen.q37Sql(2000L, 4)
 
+  /** Deterministic global training order ([[Mixing.globalOrder]]): the
+    * first 500 rows of the shuffled-for-training order — rank is computed
+    * through sharded parallel windows on the engine and one global
+    * ROW_NUMBER in the oracle; they must agree exactly. */
+  def q38GlobalOrder(s: SparkSession, dir: String): DataFrame =
+    Mixing.globalOrder(t(s, dir, "documents"), col("doc_id"))
+      .filter(col("ord") < 500)
+      .select("ord", "doc_id", "source", "n_chars")
+  def q38Sql: String = OracleSqlGen.q38Sql(500L)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -840,7 +850,8 @@ object EntryQueries {
     "q34_decontaminate" -> (q34Decontaminate _, q34Sql),
     "q35_pack" -> (q35Pack _, q35Sql),
     "q36_decontaminate_large" -> (q36DecontaminateLarge _, q36Sql),
-    "q37_pack_sharded" -> (q37PackSharded _, q37Sql))
+    "q37_pack_sharded" -> (q37PackSharded _, q37Sql),
+    "q38_global_order" -> (q38GlobalOrder _, q38Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

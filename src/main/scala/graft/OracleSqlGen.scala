@@ -425,6 +425,18 @@ object OracleSqlGen {
        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |FROM b GROUP BY source, bin""".stripMargin
 
+  /** q38: globalOrder replay — exact global rank in the (mix64 >> 1,
+    * doc_id) order via a plain ROW_NUMBER (the oracle can afford the
+    * global sort the engine decomposes into sharded windows). */
+  def q38Sql(limit: Long): String =
+    s"""WITH mxd AS (SELECT doc_id, source, n_chars,
+       |  ${mix64Cols("CAST(doc_id AS UBIGINT)", "m")}
+       |  FROM documents),
+       |o AS (SELECT doc_id, source, n_chars,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY (m >> 1), doc_id) - 1 AS BIGINT) AS ord
+       |  FROM mxd)
+       |SELECT ord, doc_id, source, n_chars FROM o WHERE ord < $limit""".stripMargin
+
   /** q37: packBins over shardKey(source, doc_id, nShards) — the giant-key
     * sharding recipe replayed end-to-end. nShards MUST be a power of two
     * here: Spark's `pmod(mix64(id), 2^k)` equals `(m & (2^k−1))` on the

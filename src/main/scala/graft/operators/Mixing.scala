@@ -110,6 +110,43 @@ object Mixing {
       .drop("__run")
   }
 
+  /** Deterministic global training order: `ord` = the row's exact rank in
+    * the (mix64-uniform, id) order — the "shuffle the dataset for training"
+    * primitive. The order is a pure function of the id SET (not the
+    * layout), so it is partition-invariant, resumable, and replayable;
+    * `epoch > 0` reshuffles deterministically (u = mix64(mix64(id) XOR
+    * epoch) — XOR, not +: ANSI mode throws on long overflow).
+    *
+    * Scale shape: NO global sort, NO single-partition window. u is uniform
+    * in [0, 2⁶³), so its top `shardBits` bits split the order into
+    * 2^shardBits equal-width contiguous rank ranges; one tiny per-shard
+    * count aggregate prefix-sums into shard offsets on the driver
+    * (≤ 2^shardBits longs), and each shard ranks independently under a
+    * per-shard window — 2^shardBits parallel sorts of ~n/2^shardBits rows.
+    * Two passes over the input (count, rank); `ord` is identical for ANY
+    * shardBits (spec-pinned). */
+  def globalOrder(df: DataFrame, id: Column, shardBits: Int = 6,
+      epoch: Long = 0L): DataFrame = {
+    require(shardBits >= 0 && shardBits <= 16, "shardBits in [0, 16]")
+    require(Seq("__u", "__shard", "__off", "ord").forall(c => !df.columns.contains(c)),
+      "input must not carry '__u'/'__shard'/'__off'/'ord' columns")
+    val spark = df.sparkSession
+    val base = if (epoch == 0L) st.mix64(id) else st.mix64(st.mix64(id).bitwiseXOR(lit(epoch)))
+    val u = shiftrightunsigned(base, 1)
+    val sharded = df.withColumn("__u", u)
+      .withColumn("__shard", shiftrightunsigned(col("__u"), 63 - shardBits))
+    val counts = sharded.groupBy("__shard").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val offsets = counts.map { case (s, n) => val o = off; off += n; (s, o) }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__shard", "__off"))
+    val w = Window.partitionBy("__shard").orderBy(col("__u").asc, id.asc)
+    sharded.join(offDf, "__shard")
+      .withColumn("ord", col("__off") + row_number().over(w).cast("long") - 1L)
+      .drop("__u", "__shard", "__off")
+  }
+
   /** Composite shard key for giant sources: one dominant key serializes its
     * own window partition in [[budgetCap]]/[[packBins]] (the per-key window
     * is a single task) — the documented skew class. `shard =

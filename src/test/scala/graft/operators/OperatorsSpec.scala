@@ -573,6 +573,29 @@ class DedupAnnSpec extends AnyFunSuite {
       s"sharded spend $shardedSpend too far below plain $plain")
   }
 
+  test("mixing: globalOrder == exact rank model; invariant to partitioning, shardBits; epoch reshuffles") {
+    val n = 3000L
+    val rows = spark.range(n).toDF("id")
+    def run(parts: Int, shardBits: Int, epoch: Long = 0L) =
+      Mixing.globalOrder(rows.repartition(parts), col("id"), shardBits, epoch)
+        .select("id", "ord").as[(Long, Long)].collect().toMap
+    val a = run(2, 6)
+    // exact model: rank in (mix64 >>> 1, id) order
+    val expected = (0L until n).sortBy(i => (Kernels.mix64(i) >>> 1, i))
+      .zipWithIndex.map { case (i, r) => i -> r.toLong }.toMap
+    assert(a == expected)
+    // partition- and shardBits-invariant (ord is a pure function of the set)
+    assert(run(13, 6) == a)
+    assert(run(2, 2) == a)
+    assert(run(2, 0) == a)
+    // epoch reshuffle: same ranks 0..n-1, different assignment, exact model
+    val e = run(5, 6, epoch = 7L)
+    assert(e.values.toSet == (0L until n).toSet && e != a)
+    val expectedE = (0L until n).sortBy(i => (Kernels.mix64(Kernels.mix64(i) ^ 7L) >>> 1, i))
+      .zipWithIndex.map { case (i, r) => i -> r.toLong }.toMap
+    assert(e == expectedE)
+  }
+
   test("mixing: holdoutSplit partitions exactly and deterministically") {
     val rows = spark.range(2000).toDF("id")
     val (train, test1) = Mixing.holdoutSplit(rows, col("id"), 0.1)
