@@ -247,6 +247,24 @@ object SnapshotTable {
   }
 
   /** Whole-table fingerprint (order-independent). */
+  /** Exactly-once streaming ingest: wires a streaming DataFrame into a
+    * snapshot table through `foreachBatch`. Structured Streaming delivers
+    * micro-batches at-least-once after recovery (a failed epoch replays
+    * with the SAME batch id); [[commitBatch]]'s manifest batch-id dedup
+    * makes the sink idempotent, so the composition is exactly-once — the
+    * continuous-ingest half of the checkpoint/resume mandate. The caller
+    * starts the returned writer (checkpointLocation, trigger). Batch ids
+    * are `s<epochId>`; the source must replay epochs deterministically
+    * (the Structured Streaming file/Kafka source contract). */
+  def streamingCommit(stream: DataFrame, table: String, bucketCol: String,
+      sortCols: Seq[String], numPartitions: Int = 16, zOrderRes: Int = -1)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (df: DataFrame, epochId: Long) =>
+      commitBatch(df, table, s"s$epochId", bucketCol, sortCols,
+        numPartitions, zOrderRes)
+      ()
+    }
+
   def tableFingerprint(table: String): (Long, Long) = {
     val snap = currentSnapshot(table)
     (snap.batches.map(_.rows).sum, snap.batches.map(_.fingerprint).foldLeft(0L)(_ ^ _))

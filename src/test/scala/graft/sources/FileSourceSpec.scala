@@ -305,15 +305,11 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(inDir.resolve("a").toString).schema
 
     def runStream(table: String): Unit = {
-      val q = spark.readStream.schema(schema)
+      val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(inDir.toString + "/*")
-        .writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          SnapshotTable.commitBatch(batch, table, s"stream_$id", "tile",
-            Seq("image_id"), numPartitions = 4, zOrderRes = 7)
-          ()
-        }
+      val q = SnapshotTable.streamingCommit(stream, table, "tile",
+          Seq("image_id"), numPartitions = 4, zOrderRes = 7)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(120000)
     }
