@@ -802,6 +802,18 @@ object EntryQueries {
       .select("ord", "doc_id", "source", "n_chars")
   def q38Sql: String = OracleSqlGen.q38Sql(500L)
 
+  /** Dedup groups ([[Dedup.connectedComponents]] over the q29 near-dup
+    * pairs): pairs → transitive closure → (component, size). The engine
+    * runs min-label propagation in parallel passes; the oracle computes
+    * min reachable id per node with a recursive CTE — identical fixpoint. */
+  def q39DedupGroups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q29ImageNearDup(s, dir)
+    Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_members"))
+  }
+  def q39Sql: String = OracleSqlGen.q39Sql(3)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -851,7 +863,8 @@ object EntryQueries {
     "q35_pack" -> (q35Pack _, q35Sql),
     "q36_decontaminate_large" -> (q36DecontaminateLarge _, q36Sql),
     "q37_pack_sharded" -> (q37PackSharded _, q37Sql),
-    "q38_global_order" -> (q38GlobalOrder _, q38Sql))
+    "q38_global_order" -> (q38GlobalOrder _, q38Sql),
+    "q39_dedup_groups" -> (q39DedupGroups _, q39Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

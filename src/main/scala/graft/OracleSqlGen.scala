@@ -222,10 +222,12 @@ object OracleSqlGen {
     * single-bit flips at mix64-chosen positions into the base id's phash)
     * and brute-forces Hamming ≤ maxHamming over ALL pairs — independent of
     * the engine's pigeonhole banding. */
-  def q29Sql(maxHamming: Int): String = {
+  /** CTE chain (no leading WITH) producing `vr(id, vhash)` — the synthetic
+    * q29 variant-hash corpus — shared by q29 (pairs) and q39 (components). */
+  private def vrCtes: String = {
     def flip(j: Int): String =
       s"CASE WHEN a.id % 4 >= $j THEN CAST(1 AS UBIGINT) << CAST(m.f$j >> 58 AS INTEGER) ELSE CAST(0 AS UBIGINT) END"
-    s"""WITH ${ptsCtes(s"LEAST($nImagesExpr, 20000)")},
+    s"""${ptsCtes(s"LEAST($nImagesExpr, 20000)")},
        |mxf AS (SELECT id,
        |  ${mix64Cols("CAST(id * 8 + 1 AS UBIGINT)", "f1")},
        |  ${mix64Cols("CAST(id * 8 + 2 AS UBIGINT)", "f2")},
@@ -239,13 +241,35 @@ object OracleSqlGen {
        |  END AS vhash
        |  FROM ids a JOIN mxf m ON m.id = a.id
        |    JOIN pts p ON p.id = a.id
-       |    JOIN pts b ON b.id = a.id - a.id % 4)
+       |    JOIN pts b ON b.id = a.id - a.id % 4)""".stripMargin
+  }
+
+  def q29Sql(maxHamming: Int): String =
+    s"""WITH $vrCtes
        |SELECT a.id AS id_a, b.id AS id_b,
        |  CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming,
        |  CAST(0 AS BIGINT) AS n_dropped_buckets
        |FROM vr a JOIN vr b
        |  ON a.id < b.id AND bit_count(xor(a.vhash, b.vhash)) <= $maxHamming""".stripMargin
-  }
+
+  /** q39: connected components over the q29 near-dup pairs — brute pairs,
+    * symmetric closure, a recursive reachability CTE, and comp = the min
+    * reachable id per node (exactly the engine's min-label fixpoint),
+    * rolled up to (comp, n_members). */
+  def q39Sql(maxHamming: Int): String =
+    s"""WITH RECURSIVE $vrCtes,
+       |prs AS (SELECT a.id AS ia, b.id AS ib
+       |  FROM vr a JOIN vr b
+       |  ON a.id < b.id AND bit_count(xor(a.vhash, b.vhash)) <= $maxHamming),
+       |bidir AS (SELECT ia AS src, ib AS dst FROM prs
+       |  UNION ALL SELECT ib, ia FROM prs),
+       |nodes AS (SELECT DISTINCT src AS id FROM bidir),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON b.src = r.dst),
+       |comp AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)
+       |SELECT comp, COUNT(*) AS n_members FROM comp GROUP BY comp""".stripMargin
 
   /** q30: full replay of the deterministic integer k-means training loop
     * (Ann.kmeansAssign): quantize to round(x·1000), seed with the k rows of

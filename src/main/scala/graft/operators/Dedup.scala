@@ -359,6 +359,69 @@ object Dedup {
     corpus.join(bad, id === col("__cid"), "left_anti")
   }
 
+  /** Connected components over an undirected pair list — the transitive
+    * closure every dedup pipeline needs between "near-dup PAIRS" and "keep
+    * one row per GROUP" (dropping id_b of each pair over-deletes chains).
+    * Returns (id, comp) for every id appearing in the pairs; comp = the
+    * component's minimum id, so the canonical keep-set is `comp === id`.
+    *
+    * Algorithm: min-label propagation — each pass sends every node's label
+    * to its neighbors and takes the min (one shuffle per pass; min is
+    * associative, so the result is partition-invariant and deterministic).
+    * Passes needed = graph diameter; similarity graphs are clique-ish
+    * (variant groups, boilerplate clusters), so a handful. Convergence is
+    * detected by the strictly-decreasing label sum (exact DECIMAL(38) —
+    * overflow-safe at any id scale, one tiny aggregate action per pass);
+    * `maxIters` bounds the loop and THROWS on non-convergence — a silent
+    * partial closure would under-delete. For adversarial long-path graphs
+    * (diameter ≫ 30) use alternating large-star/small-star instead; not
+    * needed for dedup workloads. */
+  def connectedComponents(
+      pairs: DataFrame, a: Column, b: Column, maxIters: Int = 30): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the edge projection BEFORE the symmetric union: both union
+    // branches read it, and without the cache the (possibly expensive)
+    // upstream pair pipeline would run twice
+    val e = pairs.select(a.cast("long").as("src"), b.cast("long").as("dst"))
+      .persist(lvl)
+    CacheTracker.register(e)
+    val bidir = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(lvl)
+    CacheTracker.register(bidir)
+    // labels MUST truncate lineage each pass (localCheckpoint, not persist):
+    // caching short-circuits recompute but the logical plan still nests one
+    // join+union+agg level per pass — by ~10 passes the plan tree (and its
+    // EXPLAIN string inside AQE) grows exponentially and OOMs the driver
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val r = l.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    // in-loop the sum comparison is exact: comp values are element-wise
+    // non-increasing, so equal sums ⟺ no label changed. Only the empty
+    // graph needs a separate check (its sum is vacuously stable).
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = labels.limit(1).count() == 0
+    while (!converged && iter < maxIters) {
+      val msgs = bidir.as("e").join(labels.as("l"), col("e.src") === col("l.id"))
+        .select(col("e.dst").as("id"), col("l.comp"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint(true)
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    require(converged, s"connectedComponents: not converged after $maxIters passes " +
+      "(graph diameter exceeds the bound — use a star-contraction variant)")
+    CacheTracker.register(labels)
+    labels
+  }
+
   /** 64-bit SimHash over whitespace tokens — single-pass kernel expression
     * (a 64-aggregate builtin formulation re-scans the token array per bit). */
   def simhash(text: Column): Column = graft.functions.st.simhash64(text)

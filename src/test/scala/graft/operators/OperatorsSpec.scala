@@ -406,6 +406,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(large2 == exact2, "LSH path must equal the exact path on the q34 corpus")
   }
 
+  test("connectedComponents == union-find model; chains, cliques, partition-invariant, empty") {
+    // deterministic pseudo-random graph: chains, cliques, isolated pairs
+    val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    (0L until 10L).foreach(i => edges += ((i, i + 1)))            // chain 0..10 (diameter 10)
+    (20L until 24L).foreach(i => (i + 1 to 24L).foreach(j => edges += ((i, j)))) // clique 20..24
+    edges += ((100L, 200L)); edges += ((300L, 400L)); edges += ((200L, 300L)) // chain via hubs
+    edges += ((500L, 501L))
+    val df = edges.toSeq.toDF("ia", "ib")
+    def run(parts: Int) =
+      Dedup.connectedComponents(df.repartition(parts), col("ia"), col("ib"))
+        .as[(Long, Long)].collect().toMap
+    val got = run(3)
+    // union-find model
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y)); if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    assert(got == expected)
+    assert(got(10L) == 0L && got(24L) == 20L && got(400L) == 100L && got(501L) == 500L)
+    assert(run(11) == got, "components must be partition-invariant")
+    CacheTracker.releaseAll()
+    // empty edge list
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("ia", "ib"), col("ia"), col("ib"))
+    assert(empty.count() == 0)
+    CacheTracker.releaseAll()
+  }
+
   test("decontaminateLarge oversized eval buckets fail SAFE (over-drop, never under-drop)") {
     val d = docs(50).cache()
     // boilerplate eval set: many copies of doc 0's text -> every band bucket
