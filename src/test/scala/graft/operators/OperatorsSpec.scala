@@ -345,11 +345,15 @@ class DedupAnnSpec extends AnyFunSuite {
       val keepIds = Dedup.exact(clean, col("text"), col("doc_id")).select("keep_id")
       val exactDeduped = clean.join(keepIds, clean("doc_id") === keepIds("keep_id"))
         .drop("keep_id")
-      // 3. fuzzy near-dup prune: drop the higher id of each verified pair
+      // 3. fuzzy near-dup prune, transitive-closure-correct: verified pairs
+      // -> connected components -> keep each group's minimum id (dropping
+      // id_b per pair would over-delete chains a-b, b-c)
       val cands = Dedup.minhashCandidates(exactDeduped, col("doc_id"), col("text"))
-      val losers = Dedup.jaccardVerify(cands, exactDeduped, col("doc_id"), col("text"),
-          minJaccard = 0.6)
-        .select(col("id_b").as("doc_id")).distinct()
+      val verified = Dedup.jaccardVerify(cands, exactDeduped, col("doc_id"), col("text"),
+        minJaccard = 0.6)
+      val losers = Dedup.connectedComponents(verified, col("id_a"), col("id_b"))
+        .filter(col("comp") =!= col("id"))
+        .select(col("id").as("doc_id"))
       val pruned = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
       // 4. quality gate
       val quality = pruned.filter(TextOps.qualityScoreBp(col("text")) >= 2000)
