@@ -441,6 +441,29 @@ class DedupAnnSpec extends AnyFunSuite {
     CacheTracker.releaseAll()
   }
 
+  test("connectedComponents property sweep: 20 seeded random graphs == union-find") {
+    (1 to 20).foreach { seed =>
+      val nNodes = 40 + (Kernels.mix64(seed) & 63L).toInt
+      val nEdges = 20 + (Kernels.mix64(seed * 31) & 127L).toInt
+      val edges = (0 until nEdges).map { k =>
+        val h = Kernels.mix64(seed * 100003L + k)
+        val x = java.lang.Long.remainderUnsigned(h >>> 1, nNodes)
+        val y = java.lang.Long.remainderUnsigned(Kernels.mix64(h) >>> 1, nNodes)
+        (x, if (x == y) (y + 1) % nNodes else y)
+      }
+      val got = Dedup.connectedComponents(edges.toDF("ia", "ib"), col("ia"), col("ib"))
+        .as[(Long, Long)].collect().toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      edges.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y)); if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+      assert(got == expected, s"seed $seed mismatch")
+      CacheTracker.releaseAll()
+    }
+  }
+
   test("decontaminateLarge oversized eval buckets fail SAFE (over-drop, never under-drop)") {
     val d = docs(50).cache()
     // boilerplate eval set: many copies of doc 0's text -> every band bucket
