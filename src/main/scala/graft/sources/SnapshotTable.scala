@@ -131,7 +131,17 @@ object SnapshotTable {
       zOrderRes: Int = -1): Boolean = {
     val snap = currentSnapshot(table)
     if (snap.batchIds.contains(batchId)) return false
+    val batch = writeBatch(df, table, batchId, bucketCol, sortCols,
+      numPartitions, zOrderRes)
+    publish(table, Snapshot(snap.version + 1, snap.batches :+ batch))
+    true
+  }
 
+  /** Write one batch's data files + compute its manifest stats WITHOUT
+    * publishing a snapshot (shared by [[commitBatch]] and [[compact]]). */
+  private def writeBatch(df: DataFrame, table: String, batchId: String,
+      bucketCol: String, sortCols: Seq[String], numPartitions: Int,
+      zOrderRes: Int): Batch = {
     val batchDir = Paths.get(table, "data", s"b$batchId")
     // clean leftovers from a killed writer (invisible to readers anyway)
     if (Files.exists(batchDir)) deleteRec(batchDir)
@@ -195,12 +205,60 @@ object SnapshotTable {
     val totalRows = bucketStats.map(_.rows).sum
     val totalFp = bucketStats.map(_.fingerprint).foldLeft(0L)(_ ^ _)
 
-    val next = Snapshot(snap.version + 1,
-      snap.batches :+ Batch(batchId, files, totalRows, totalFp, bucketStats, fileStats))
+    Batch(batchId, files, totalRows, totalFp, bucketStats, fileStats)
+  }
+
+  private def publish(table: String, next: Snapshot): Unit = {
     Files.createDirectories(snapDir(table))
     Files.writeString(snapDir(table).resolve(s"v${next.version}.json"), renderSnapshot(next))
     Files.writeString(snapDir(table).resolve("LATEST"), next.version.toString)
+  }
+
+  /** Compact every committed batch into ONE batch — the small-file answer
+    * for a long-running ingest (hundreds of micro-batch commits each with
+    * `numPartitions` files ⇒ listing/open overhead dominates scans; the
+    * Iceberg `rewrite_data_files` analog). Reads the current snapshot,
+    * rewrites the union under the standard byte-stable layout as batch
+    * `c<newVersion>`, VERIFIES content (rows + order-independent XOR
+    * fingerprint must equal the source snapshot — on mismatch the new
+    * files are removed and compact throws; the table is never corrupted),
+    * then publishes a snapshot whose batch list is the single compacted
+    * batch. Old batch directories stay on disk for old-version readers
+    * (snapshot isolation); reclaim them with [[vacuum]] once no reader
+    * needs them. Returns false when there is nothing to compact. */
+  def compact(spark: SparkSession, table: String, bucketCol: String,
+      sortCols: Seq[String], numPartitions: Int = 16,
+      zOrderRes: Int = -1): Boolean = {
+    val snap = currentSnapshot(table)
+    if (snap.batches.length <= 1) return false
+    val srcRows = snap.batches.map(_.rows).sum
+    val srcFp = snap.batches.map(_.fingerprint).foldLeft(0L)(_ ^ _)
+    val batchId = s"c${snap.version + 1}"
+    val batch = writeBatch(read(spark, table), table, batchId, bucketCol,
+      sortCols, numPartitions, zOrderRes)
+    if (batch.rows != srcRows || batch.fingerprint != srcFp) {
+      deleteRec(Paths.get(table, "data", s"b$batchId"))
+      throw new IllegalStateException(
+        s"compact: rewritten content mismatch (rows ${batch.rows} vs $srcRows, " +
+          s"fp ${batch.fingerprint.toHexString} vs ${srcFp.toHexString}) — aborted, table unchanged")
+    }
+    publish(table, Snapshot(snap.version + 1, Vector(batch)))
     true
+  }
+
+  /** Delete data directories no batch of the CURRENT snapshot references
+    * (orphans from killed writers, batches replaced by [[compact]]).
+    * DESTRUCTIVE for time travel: readers of older snapshot versions lose
+    * their files — run only once no such reader exists. Returns the
+    * deleted directory names. */
+  def vacuum(table: String): Seq[String] = {
+    val dataDir = Paths.get(table, "data")
+    if (!Files.exists(dataDir)) return Nil
+    val live = currentSnapshot(table).batches.map(b => s"b${b.batchId}").toSet
+    val gone = Files.list(dataDir).iterator().asScala
+      .filter(p => !live.contains(p.getFileName.toString)).toVector
+    gone.foreach(deleteRec)
+    gone.map(_.getFileName.toString)
   }
 
   private def fpExpr(df: DataFrame): String =

@@ -69,6 +69,60 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(shape(dir) == shape(dir2), "per-file z-order blocks must be parallelism-independent")
   }
 
+  test("compact: many batches -> one, content-verified; vacuum reclaims replaced dirs") {
+    val dir = freshDir()
+    (0 until 4).foreach { b =>
+      assert(SnapshotTable.commitBatch(batchDf(b, 2000, 8), dir, s"b$b", "bucket", Seq("id"),
+        numPartitions = 8))
+    }
+    val fpBefore = SnapshotTable.tableFingerprint(dir)
+    val filesBefore = SnapshotTable.currentSnapshot(dir).batches.map(_.files.size).sum
+    assert(SnapshotTable.compact(spark, dir, "bucket", Seq("id"), numPartitions = 4))
+    val snap = SnapshotTable.currentSnapshot(dir)
+    // one batch, fewer files, identical content fingerprint and rows
+    assert(snap.batches.length == 1 && snap.batches.head.files.size < filesBefore)
+    assert(SnapshotTable.tableFingerprint(dir) == fpBefore)
+    assert(SnapshotTable.read(spark, dir).count() == 8000)
+    // lineage survives compaction (per-bucket stats recomputed, same totals)
+    assert(SnapshotTable.lineage(spark, dir).agg(sum("rows")).head().getLong(0) == 8000)
+    // old batch dirs still on disk (old-version readers), then vacuumed
+    val dataDirs = new java.io.File(dir + "/data").list().toSet
+    assert((0 until 4).forall(b => dataDirs.contains(s"bb$b")))
+    val gone = SnapshotTable.vacuum(dir)
+    assert(gone.toSet == (0 until 4).map(b => s"bb$b").toSet)
+    assert(SnapshotTable.read(spark, dir).count() == 8000)
+    assert(SnapshotTable.tableFingerprint(dir) == fpBefore)
+    // nothing further to compact
+    assert(!SnapshotTable.compact(spark, dir, "bucket", Seq("id")))
+    // recommit after compaction continues the version chain
+    assert(SnapshotTable.commitBatch(batchDf(7, 500, 2), dir, "b7", "bucket", Seq("id")))
+    assert(SnapshotTable.read(spark, dir).count() == 8500)
+  }
+
+  test("compact preserves z-order fileStats: readRange still skips files") {
+    val dir = freshDir()
+    val df = spark.range(0, 20000, 1, 8)
+      .select(col("id"),
+        (pmod(st.mix64(col("id")), lit(360000L)).cast("double") / 1000.0 - 180.0).as("lon"),
+        (pmod(st.mix64(col("id") + 1), lit(170000L)).cast("double") / 1000.0 - 85.0).as("lat"))
+      .select(col("id"), st.cellId(col("lon"), col("lat"), 5).as("bucket"))
+    assert(SnapshotTable.commitBatch(df.filter(col("id") < 10000), dir, "b0", "bucket",
+      Seq("id"), numPartitions = 8, zOrderRes = 5))
+    assert(SnapshotTable.commitBatch(df.filter(col("id") >= 10000), dir, "b1", "bucket",
+      Seq("id"), numPartitions = 8, zOrderRes = 5))
+    assert(SnapshotTable.compact(spark, dir, "bucket", Seq("id"),
+      numPartitions = 8, zOrderRes = 5))
+    val cells = df.select("bucket").distinct().orderBy("bucket").as[Long].collect()
+    val (lo, hi) = (cells(cells.length / 4), cells(cells.length / 3))
+    val (pruned, selected, total) = SnapshotTable.readRange(spark, dir, lo, hi)
+    val got = pruned.filter(col("bucket") >= lo && col("bucket") <= hi)
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = df.filter(col("bucket") >= lo && col("bucket") <= hi)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == want && want.nonEmpty)
+    assert(selected < total, s"compacted manifest skipped no files ($selected of $total)")
+  }
+
   test("exact resume: interrupted run re-converges to byte-identical table") {
     def runPipeline(dir: String, upTo: Int): Unit =
       (0 until upTo).foreach { b =>
