@@ -328,6 +328,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(SnapshotTable.currentVersion(streamTable) == vBefore,
       "replay must be an exact-resume no-op")
   }
+
+  test("decontaminate-on-ingest: stream-static broadcast anti join == batch decontamination") {
+    // the streaming half of benchmark decontamination: a document stream
+    // anti-joined per micro-batch against the static (broadcast) eval set —
+    // Dedup.decontaminate's plan is stream-compatible as-is
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    def word(k: Long): String = "w" + (graft.core.Kernels.mix64(k) & 0xFFFL).toString
+    val docs = (0L until 120L).map { i =>
+      (i, (0 until 25).map(j => word(i * 131 + j)).mkString(" "))
+    }
+    val inDir = Files.createTempDirectory("graft_decon_stream")
+    docs.filter(_._1 % 2 == 0).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(inDir.resolve("a").toString)
+    docs.filter(_._1 % 2 == 1).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(inDir.resolve("b").toString)
+    val evalSet = docs.filter(_._1 < 10).map(_._2).toDF("text")
+    val schema = spark.read.parquet(inDir.resolve("a").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString + "/*")
+    val q = graft.operators.Dedup.decontaminate(stream, col("text"), evalSet, col("text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_decon_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT doc_id FROM graft_decon_out")
+      .as[Long].collect().toSet
+    val batch = graft.operators.Dedup.decontaminate(
+        docs.toDF("doc_id", "text"), col("text"), evalSet, col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert((0L until 10L).forall(i => !streamed.contains(i)) && streamed.size == 110)
+  }
 }
 
 /** Batched multimodal operators (mapPartitions plumbing) + stateful
