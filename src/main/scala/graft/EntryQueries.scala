@@ -814,6 +814,23 @@ object EntryQueries {
   }
   def q39Sql: String = OracleSqlGen.q39Sql(3)
 
+  /** Contamination audit ([[Dedup.contaminationReport]]): per eval doc,
+    * how many corpus rows reach the Jaccard threshold (each eval doc hits
+    * at least itself — eval ⊂ corpus here). */
+  def q40ContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.contaminationReport(d, col("text"),
+      d.filter(col("doc_id") < 20), col("doc_id"), col("text"))
+  }
+  def q40Sql: String = OracleSqlGen.q40Sql(0.6, 20)
+
+  /** Corpus vocabulary ([[TextOps.topTokens]]): top-50 tokens by count,
+    * ties broken by token — TakeOrdered on the engine, ORDER BY + LIMIT in
+    * the oracle. */
+  def q41TopTokens(s: SparkSession, dir: String): DataFrame =
+    TextOps.topTokens(t(s, dir, "documents"), col("text"), 50)
+  def q41Sql: String = OracleSqlGen.q41Sql(50)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -864,7 +881,9 @@ object EntryQueries {
     "q36_decontaminate_large" -> (q36DecontaminateLarge _, q36Sql),
     "q37_pack_sharded" -> (q37PackSharded _, q37Sql),
     "q38_global_order" -> (q38GlobalOrder _, q38Sql),
-    "q39_dedup_groups" -> (q39DedupGroups _, q39Sql))
+    "q39_dedup_groups" -> (q39DedupGroups _, q39Sql),
+    "q40_contamination_report" -> (q40ContaminationReport _, q40Sql),
+    "q41_top_tokens" -> (q41TopTokens _, q41Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

@@ -461,6 +461,37 @@ object OracleSqlGen {
        |  FROM mxd)
        |SELECT ord, doc_id, source, n_chars FROM o WHERE ord < $limit""".stripMargin
 
+  /** q40: contamination report replay — per eval doc (doc_id < nEval),
+    * COUNT of corpus docs at Jaccard ≥ minJ (same shingle kernel + integer
+    * ratio prefilter as q34; LEFT JOIN keeps zero-hit eval rows). */
+  def q40Sql(minJ: Double, nEval: Int): String = {
+    val num = graft.operators.Dedup.ratioNum(minJ)
+    val den = graft.operators.Dedup.RatioDen
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(t) < 4 THEN [${rollHash("t")}]
+       |       ELSE list_distinct([${roll4("t", "j")} for j in generate_series(1, len(t) - 3)])
+       |  END AS s
+       |  FROM d),
+       |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id < $nEval)
+       |SELECT e.eval_id, CAST(COUNT(a.doc_id) AS BIGINT) AS n_hits
+       |FROM ev e LEFT JOIN sh a
+       |  ON len(a.s) * $den >= len(e.s) * $num
+       |  AND len(e.s) * $den >= len(a.s) * $num
+       |  AND CAST(len(list_intersect(a.s, e.s)) AS DOUBLE)
+       |      / CAST(len(a.s) + len(e.s) - len(list_intersect(a.s, e.s)) AS DOUBLE) >= $minJ
+       |GROUP BY e.eval_id""".stripMargin
+  }
+
+  /** q41: top-k vocabulary replay — single-space tokens, lowercased,
+    * count + (n DESC, token ASC) top-k. */
+  def q41Sql(k: Int): String =
+    s"""WITH toks AS (SELECT lower(tok) AS token
+       |  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+       |  WHERE len(tok) > 0)
+       |SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+       |ORDER BY n DESC, token LIMIT $k""".stripMargin
+
   /** q37: packBins over shardKey(source, doc_id, nShards) — the giant-key
     * sharding recipe replayed end-to-end. nShards MUST be a power of two
     * here: Spark's `pmod(mix64(id), 2^k)` equals `(m & (2^k−1))` on the

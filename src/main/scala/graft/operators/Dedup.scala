@@ -359,6 +359,33 @@ object Dedup {
     corpus.join(bad, id === col("__cid"), "left_anti")
   }
 
+  /** Contamination REPORT: per eval document, how many corpus rows reach
+    * `minJaccard` against it — the audit twin of [[decontaminate]] (which
+    * benchmarks leaked? how badly?), same broadcast + one-corpus-pass plan
+    * shape but an INNER join + per-eval count; zero-hit eval rows are kept
+    * (count 0) via a final join against the tiny eval frame. Returns
+    * (eval_id, n_hits). */
+  def contaminationReport(
+      corpus: DataFrame, text: Column,
+      evalDf: DataFrame, evalId: Column, evalText: Column,
+      shingleLen: Int = 4, minJaccard: Double = 0.6): DataFrame = {
+    import graft.functions.st
+    require(minJaccard > 0 && minJaccard <= 1, "minJaccard in (0, 1]")
+    val den = RatioDen
+    val num = ratioNum(minJaccard)
+    val ev = broadcast(evalDf.select(evalId.as("eval_id"),
+      st.shingleHashes(evalText, shingleLen).as("__esh")))
+    val sized = corpus.select(st.shingleHashes(text, shingleLen).as("__sh"))
+    val cond =
+      size(col("__sh")).cast("long") * den >= size(col("__esh")).cast("long") * num &&
+      size(col("__esh")).cast("long") * den >= size(col("__sh")).cast("long") * num &&
+      st.jaccardSorted(col("__sh"), col("__esh")) >= minJaccard
+    val hits = sized.join(ev, cond).groupBy("eval_id").agg(count(lit(1)).as("__hits"))
+    evalDf.select(evalId.as("eval_id"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), coalesce(col("__hits"), lit(0L)).as("n_hits"))
+  }
+
   /** Connected components over an undirected pair list — the transitive
     * closure every dedup pipeline needs between "near-dup PAIRS" and "keep
     * one row per GROUP" (dropping id_b of each pair over-deletes chains).

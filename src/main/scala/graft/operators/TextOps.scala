@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID
@@ -22,6 +22,20 @@ object TextOps {
 
   /** Characters per token ≈ 4 heuristic token estimate. */
   def tokenEstimate(text: Column): Column = ceil(length(text).cast("double") / 4.0)
+
+  /** Top-k corpus vocabulary: single-space tokens (lowercased), counted
+    * with map-side partial aggregation; top-k runs as TakeOrdered
+    * (per-partition heaps + driver merge — never a full global sort), ties
+    * broken by token for determinism. The corpus-statistics primitive for
+    * vocabulary/boilerplate inspection. */
+  def topTokens(df: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.select(explode(split(lower(text), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+  }
 
   /** Quality-score components: length, punctuation ratio, stopword ratio,
     * uppercase ratio, digit ratio, mean word length. Returns a struct. */
