@@ -123,8 +123,9 @@ object Mixing {
     * count aggregate prefix-sums into shard offsets on the driver
     * (≤ 2^shardBits longs), and each shard ranks independently under a
     * per-shard window — 2^shardBits parallel sorts of ~n/2^shardBits rows.
-    * Two passes over the input (count, rank); `ord` is identical for ANY
-    * shardBits (spec-pinned). */
+    * Two passes over the input (count, rank) — persist `df` first if its
+    * lineage is expensive; `ord` is identical for ANY shardBits
+    * (spec-pinned). */
   def globalOrder(df: DataFrame, id: Column, shardBits: Int = 6,
       epoch: Long = 0L): DataFrame = {
     require(shardBits >= 0 && shardBits <= 16, "shardBits in [0, 16]")
