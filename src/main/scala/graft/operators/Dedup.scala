@@ -418,9 +418,13 @@ object Dedup {
     // labels MUST truncate lineage each pass (localCheckpoint, not persist):
     // caching short-circuits recompute but the logical plan still nests one
     // join+union+agg level per pass — by ~10 passes the plan tree (and its
-    // EXPLAIN string inside AQE) grows exponentially and OOMs the driver
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    // EXPLAIN string inside AQE) grows exponentially and OOMs the driver.
+    // Initialization fuses the first propagation pass: comp₁(v) =
+    // min(v, min neighbor) is exactly pass 1 over comp₀ = id, and the
+    // groupBy doubles as the distinct-nodes scan — one shuffle saved.
+    var labels = bidir.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .withColumnRenamed("src", "id").localCheckpoint(true)
     def labelSum(l: DataFrame): java.math.BigDecimal = {
       val r = l.agg(sum(col("comp").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
