@@ -408,6 +408,12 @@ class DedupAnnSpec extends AnyFunSuite {
     val large2 = Dedup.decontaminateLarge(base, col("doc_id"), col("text"), ev2, col("text"))
       .select("doc_id").as[Long].collect().toSet
     assert(large2 == exact2, "LSH path must equal the exact path on the q34 corpus")
+
+    // 3. empty eval set: corpus passes through untouched
+    val emptyEval = d.filter(col("doc_id") < 0).select(col("text"))
+    val untouched = Dedup.decontaminateLarge(d, col("doc_id"), col("text"), emptyEval, col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(untouched == d.select("doc_id").as[Long].collect().toSet)
   }
 
   test("connectedComponents == union-find model; chains, cliques, partition-invariant, empty") {
@@ -652,6 +658,8 @@ class DedupAnnSpec extends AnyFunSuite {
     val expectedE = (0L until n).sortBy(i => (Kernels.mix64(Kernels.mix64(i) ^ 7L) >>> 1, i))
       .zipWithIndex.map { case (i, r) => i -> r.toLong }.toMap
     assert(e == expectedE)
+    // empty input
+    assert(Mixing.globalOrder(rows.filter(col("id") < 0), col("id")).count() == 0)
   }
 
   test("mixing: holdoutSplit partitions exactly and deterministically") {
