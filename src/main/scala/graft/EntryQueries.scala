@@ -831,6 +831,21 @@ object EntryQueries {
     TextOps.topTokens(t(s, dir, "documents"), col("text"), 50)
   def q41Sql: String = OracleSqlGen.q41Sql(50)
 
+  /** Persisted IVF index ([[Ann.buildIvfIndex]]/[[Ann.queryIvfIndex]]):
+    * index-once/query-many with manifest-level cluster-file pruning. Same
+    * parameters as q31, and the deterministic trainer makes the persisted
+    * path bit-identical to train-at-query-time — so the q31 oracle (full
+    * training-loop replay in DuckDB) gates this query too. */
+  def q42AnnIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val table = tempSnapshotDir("graft_ivf_index")
+    Ann.buildIvfIndex(emb, col("vec_id"), col("embedding"), table)
+    val (res, _, _) = Ann.queryIvfIndex(s, table,
+      emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
+    res
+  }
+  def q42Sql: String = q31Sql
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -883,7 +898,8 @@ object EntryQueries {
     "q38_global_order" -> (q38GlobalOrder _, q38Sql),
     "q39_dedup_groups" -> (q39DedupGroups _, q39Sql),
     "q40_contamination_report" -> (q40ContaminationReport _, q40Sql),
-    "q41_top_tokens" -> (q41TopTokens _, q41Sql))
+    "q41_top_tokens" -> (q41TopTokens _, q41Sql),
+    "q42_ann_index" -> (q42AnnIndex _, q42Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

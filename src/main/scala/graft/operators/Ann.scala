@@ -177,18 +177,78 @@ object Ann {
     val c = assignPass(
         corpus.select(id.as("id"), emb.as("emb"), quantize(emb, scale).as("q")), centroids)
       .select(col("id"), col("emb"), col("cluster").as("bucket"))
+    val probed = probeClusters(queries, qId, qEmb, centroids, probes, scale)
+    // scale threads all the way to final scoring — training, probing and
+    // ranking use ONE quantization (rankings stay consistent off-default)
+    scoreTopK(c.join(broadcast(probed), "bucket"), k, scale)
+  }
+
+  /** Per-query top-`probes` nearest centroids (deterministic: distance,
+    * then bucket) — shared by [[ivfKmeansTopK]] and [[queryIvfIndex]]. */
+  private def probeClusters(queries: DataFrame, qId: Column, qEmb: Column,
+      centroids: Array[Array[Long]], probes: Int, scale: Int): DataFrame = {
     val q0 = queries.select(qId.as("q_id"), qEmb.as("q_emb"),
       quantize(qEmb, scale).as("q"))
     val qDists = array(centroids.map(cc => qDist(col("q"), cc)): _*)
-    val probed = q0.withColumn("__d", qDists)
+    q0.withColumn("__d", qDists)
       .select(col("q_id"), col("q_emb"), posexplode(col("__d")).as(Seq("bucket", "cd")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cd"), col("bucket"))))
       .filter(col("rk") <= probes)
       .select(col("q_id"), col("q_emb"), col("bucket").cast("long").as("bucket"))
-    // scale threads all the way to final scoring — training, probing and
-    // ranking use ONE quantization (rankings stay consistent off-default)
-    scoreTopK(c.join(broadcast(probed), "bucket"), k, scale)
+  }
+
+  /** Build a PERSISTED IVF index: train the deterministic integer k-means
+    * codebook, assign every corpus row to its cluster, and commit
+    * (bucket=cluster, id, emb) into a snapshot table — each cluster whole
+    * in one file with per-file [min,max] bucket stats — plus a
+    * `codebook.json` sidecar (centroids, scale). The index-once /
+    * query-many shape: queries never retrain, and [[queryIvfIndex]] reads
+    * ONLY the probed clusters' files through the manifest. */
+  def buildIvfIndex(
+      corpus: DataFrame, id: Column, emb: Column, table: String,
+      kClusters: Int = 8, iters: Int = 2, scale: Int = 1000,
+      numPartitions: Int = 8): Unit = {
+    val (qv, centroids) = trainCentroids(corpus, id, emb, kClusters, iters, scale)
+    qv.unpersist()
+    val assigned = assignPass(
+        corpus.select(id.as("id"), emb.as("emb"), quantize(emb, scale).as("q")), centroids)
+      .select(col("cluster").as("bucket"), col("id"), col("emb"))
+    graft.sources.SnapshotTable.commitBatch(assigned, table, "index", "bucket",
+      Seq("id"), numPartitions)
+    import graft.core.{JObj, JArr, JNum}
+    val cb = JObj.of(
+      "scale" -> JNum(scale),
+      "centroids" -> JArr(centroids.toVector.map(c =>
+        JArr(c.toVector.map(v => JNum(v.toDouble))))))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(table, "codebook.json"), cb.render)
+  }
+
+  /** Query a [[buildIvfIndex]] table: load the codebook sidecar, probe each
+    * query's nearest clusters, open ONLY the files whose manifest bucket
+    * range hits a probed cluster (`SnapshotTable.readBuckets` — disk-level
+    * pruning, not just a post-scan filter), and score exactly inside them.
+    * Bit-identical to [[ivfKmeansTopK]] at the same parameters (the
+    * training is deterministic; spec-pinned). Returns (result,
+    * selectedFiles, totalFiles) so callers can assert the pruning. */
+  def queryIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, qId: Column, qEmb: Column,
+      k: Int, probes: Int = 3): (DataFrame, Int, Int) = {
+    import graft.core.{Json, JObj, JArr, JNum}
+    val cb = Json.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(table, "codebook.json"))).asInstanceOf[JObj]
+    val scale = cb("scale").asInstanceOf[JNum].v.toInt
+    val centroids = cb("centroids").asInstanceOf[JArr].items.map(
+      _.asInstanceOf[JArr].items.map(_.asInstanceOf[JNum].v.toLong).toArray).toArray
+    val probed = probeClusters(queries, qId, qEmb, centroids, probes, scale)
+    // the probed cluster SET is tiny (≤ kClusters) — collect it to drive
+    // manifest file selection
+    val bucketSet = probed.select("bucket").distinct().collect().map(_.getLong(0)).toSeq
+    val (idx, selected, total) =
+      graft.sources.SnapshotTable.readBuckets(spark, table, bucketSet)
+    (scoreTopK(idx.join(broadcast(probed), "bucket"), k, scale), selected, total)
   }
 
   /** IVF-style ANN: corpus pre-assigned to `nBuckets` coarse buckets by

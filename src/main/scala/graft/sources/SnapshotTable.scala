@@ -296,6 +296,33 @@ object SnapshotTable {
     (df, paths.length, total)
   }
 
+  /** Manifest-level file skipping for a DISCRETE bucket set (the IVF-probe
+    * shape: read only the probed clusters): keep files whose [min,max]
+    * bucket range contains ANY requested bucket. Same superset-scan
+    * contract as [[readRange]]; files without stats are read. Returns
+    * (frame, selectedFiles, totalFiles). */
+  def readBuckets(spark: SparkSession, table: String,
+      buckets: Seq[Long]): (DataFrame, Int, Int) = {
+    val want = buckets.sorted
+    def hits(lo: Long, hi: Long): Boolean = {
+      // first requested bucket >= lo, then check it is <= hi
+      var a = 0; var b = want.length
+      while (a < b) { val m = (a + b) >>> 1; if (want(m) < lo) a = m + 1 else b = m }
+      a < want.length && want(a) <= hi
+    }
+    val snap = currentSnapshot(table)
+    var total = 0
+    val paths = snap.batches.flatMap { b =>
+      val statted = b.fileStats.map(_.file).toSet
+      val keep = b.fileStats.filter(fs => hits(fs.minBucket, fs.maxBucket)).map(_.file) ++
+        b.files.filterNot(statted.contains)
+      total += b.files.length
+      keep.map(f => Paths.get(table, "data", s"b${b.batchId}", f).toString)
+    }
+    val df = if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*)
+    (df, paths.length, total)
+  }
+
   /** Lineage metrics of the current snapshot as a DataFrame. */
   def lineage(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._

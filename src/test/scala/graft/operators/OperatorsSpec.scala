@@ -690,6 +690,32 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(byCluster.values.sum == 500)
   }
 
+  test("persisted IVF index: query == fresh ivfKmeansTopK; manifest skips unprobed clusters") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val table = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Ann.buildIvfIndex(emb, col("vec_id"), col("embedding"), table)
+    CacheTracker.releaseAll()
+    // bit-identical to the train-at-query-time path (training deterministic)
+    val fresh = Ann.ivfKmeansTopK(emb, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    CacheTracker.releaseAll()
+    val (res, selected, total) = Ann.queryIvfIndex(spark, table,
+      queries, col("vec_id"), col("embedding"), k = 10)
+    val got = res.as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == fresh, "index query must equal the fresh-trained path")
+    assert(got.nonEmpty)
+    // disk-level pruning: a single query probing 2 of 8 clusters must not
+    // open every file
+    val one = emb.filter(col("vec_id") === 7)
+    val (r1, sel1, tot1) = Ann.queryIvfIndex(spark, table,
+      one, col("vec_id"), col("embedding"), k = 5, probes = 2)
+    assert(r1.count() == 5)
+    assert(sel1 < tot1, s"no files skipped ($sel1 of $tot1)")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+  }
+
   test("ivf kmeans ANN: recall vs brute at probes=3 of 8 buckets") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 10)
