@@ -214,8 +214,13 @@ object Ann {
     val assigned = assignPass(
         corpus.select(id.as("id"), emb.as("emb"), quantize(emb, scale).as("q")), centroids)
       .select(col("cluster").as("bucket"), col("id"), col("emb"))
-    graft.sources.SnapshotTable.commitBatch(assigned, table, "index", "bucket",
-      Seq("id"), numPartitions)
+    val committed = graft.sources.SnapshotTable.commitBatch(assigned, table,
+      "index", "bucket", Seq("id"), numPartitions)
+    // an existing index must not be half-updated: the commit would be
+    // skipped (resume semantics) while the codebook below got overwritten —
+    // silent data/codebook mismatch if the corpus changed
+    require(committed,
+      s"buildIvfIndex: $table already holds an index batch — delete it or use a new path")
     import graft.core.{JObj, JArr, JNum}
     val cb = JObj.of(
       "scale" -> JNum(scale),
