@@ -846,6 +846,21 @@ object EntryQueries {
   }
   def q42Sql: String = q31Sql
 
+  /** Radius self-join ([[SpatialOps.radiusPairs]]): all image-point pairs
+    * within 0.01° planar — the co-location primitive over the hotspot-
+    * skewed corpus; cell-disk prefilter + exact integer residual, oracle =
+    * brute-force quantized pair scan. */
+  def q43RadiusPairs(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val n = Math.min(imageCount(dir), 20000L)
+    val pts = ImageTable.metaDf(s, 0, n)
+      .withColumn("lon", SpatialOps.phashLon(col("phash")))
+      .withColumn("lat", SpatialOps.phashLat(col("phash")))
+    SpatialOps.radiusPairs(pts, col("id"), col("lon"), col("lat"),
+      radiusDeg = 0.01, res = 12)
+  }
+  def q43Sql: String = OracleSqlGen.q43Sql(10L)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -899,7 +914,8 @@ object EntryQueries {
     "q39_dedup_groups" -> (q39DedupGroups _, q39Sql),
     "q40_contamination_report" -> (q40ContaminationReport _, q40Sql),
     "q41_top_tokens" -> (q41TopTokens _, q41Sql),
-    "q42_ann_index" -> (q42AnnIndex _, q42Sql))
+    "q42_ann_index" -> (q42AnnIndex _, q42Sql),
+    "q43_radius_pairs" -> (q43RadiusPairs _, q43Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

@@ -461,6 +461,21 @@ object OracleSqlGen {
        |  FROM mxd)
        |SELECT ord, doc_id, source, n_chars FROM o WHERE ord < $limit""".stripMargin
 
+  /** q43: radius self-join replay — brute-force planar pair scan over the
+    * derived image points on integer-quantized milli-degree coords (the
+    * engine's cell prefilter is a pure optimization; membership is the
+    * exact integer predicate on both engines). */
+  def q43Sql(qr: Long): String =
+    s"""WITH ${ptsCtes(s"LEAST($nImagesExpr, 20000)")},
+       |q AS (SELECT id,
+       |  CAST(ROUND(lon * 1000) AS BIGINT) AS qx,
+       |  CAST(ROUND(lat * 1000) AS BIGINT) AS qy FROM pts)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy) AS qdist2
+       |FROM q a JOIN q b
+       |  ON a.id < b.id
+       |  AND (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy) <= ${qr * qr}""".stripMargin
+
   /** q40: contamination report replay — per eval doc (doc_id < nEval),
     * COUNT of corpus docs at Jaccard ≥ minJ (same shingle kernel + integer
     * ratio prefilter as q34; LEFT JOIN keeps zero-hit eval rows). */

@@ -274,6 +274,45 @@ object SpatialOps {
     }
   }
 
+  /** All point pairs within planar distance `radiusDeg` (id_a < id_b) —
+    * the spatial co-location / dedup-by-location self-join. Cell
+    * prefilter: side A explodes to the Chebyshev cell disk covering the
+    * radius (k = ⌈radius / cellHeight⌉ rings; cell height 180/2^res is the
+    * smaller cell axis, so the disk covers both axes); side B carries its
+    * single cell, so the equi-join meets each unordered pair exactly twice
+    * (disk membership is symmetric) and the id_a < id_b filter keeps one —
+    * no post-join dedup. Exact residual: integer-quantized planar squared
+    * distance (round(coord·scale) — the cross-engine-exact quantization),
+    * so membership at the radius boundary is bit-deterministic.
+    *
+    * Pick `res` so cells are about the radius (k stays 1–2): too coarse
+    * and hot cells carry whole point clusters into one join group; too
+    * fine and the disk explode fans out. `radiusDeg · scale` must be
+    * integral — the radius itself must be representable in the quantized
+    * grid or boundary semantics would silently depend on float rounding.
+    */
+  def radiusPairs(df: DataFrame, id: Column, lon: Column, lat: Column,
+      radiusDeg: Double, res: Int, scale: Int = 1000): DataFrame = {
+    val qr = math.round(radiusDeg * scale)
+    require(math.abs(radiusDeg * scale - qr) < 1e-9,
+      s"radiusDeg ($radiusDeg) must be a multiple of 1/$scale")
+    val k = math.ceil(radiusDeg / (180.0 / (1L << res).toDouble)).toInt
+    val cell = st.cellId(lon, lat, res)
+    val a = df.select(id.as("id_a"),
+      round(lon * scale).cast("long").as("qx_a"),
+      round(lat * scale).cast("long").as("qy_a"),
+      explode(st.cellDisk(cell, lit(k))).as("cell"))
+    val b = df.select(id.as("id_b"),
+      round(lon * scale).cast("long").as("qx_b"),
+      round(lat * scale).cast("long").as("qy_b"),
+      cell.as("cell"))
+    val d2 = (col("qx_a") - col("qx_b")) * (col("qx_a") - col("qx_b")) +
+      (col("qy_a") - col("qy_b")) * (col("qy_a") - col("qy_b"))
+    a.join(b, "cell")
+      .filter(col("id_a") < col("id_b") && d2 <= lit(qr * qr))
+      .select(col("id_a"), col("id_b"), d2.as("qdist2"))
+  }
+
   /** Morton-block id for a cell column: the high ⌈log₂ numPartitions⌉ bits
     * of the cell's morton code — a PURE FUNCTION of the cell value, so
     * placement derived from it is byte-stable across input parallelism AND

@@ -102,6 +102,28 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("radiusPairs == brute-force planar pairs; partition-invariant; each pair once") {
+    val pts = spark.range(3000).select(col("id"),
+      (pmod(st.mix64(col("id")), lit(360000L)).cast("double") / 1000.0 - 180.0).as("lon"),
+      (pmod(st.mix64(col("id") + 1000000), lit(170000L)).cast("double") / 1000.0 - 85.0).as("lat"))
+    def run(parts: Int) =
+      SpatialOps.radiusPairs(pts.repartition(parts), col("id"), col("lon"), col("lat"),
+          radiusDeg = 2.0, res = 6)
+        .as[(Long, Long, Long)].collect()
+    val got = run(3)
+    assert(got.length == got.map(p => (p._1, p._2)).distinct.length, "pair emitted twice")
+    assert(run(11).toSet == got.toSet, "must be partition-invariant")
+    // brute model on quantized coords
+    val local = pts.as[(Long, Double, Double)].collect()
+      .map { case (i, lo, la) => (i, math.round(lo * 1000), math.round(la * 1000)) }
+    val r2 = 2000L * 2000L
+    val brute = (for {
+      (ia, xa, ya) <- local; (ib, xb, yb) <- local if ia < ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) if d2 <= r2
+    } yield (ia, ib, d2)).toSet
+    assert(got.toSet == brute && brute.nonEmpty)
+  }
+
   test("tileAssign output is byte-identical across parallelism (2 vs 8)") {
     def run(parts: Int): Array[Byte] = {
       val s2 = spark.newSession()
