@@ -297,6 +297,8 @@ object Dedup {
     require(minJaccard > 0 && minJaccard <= 1, "minJaccard in (0, 1]")
     require(bands >= 1 && rowsPerBand >= 1 && maxEvalBucket >= 1,
       "bands, rowsPerBand, maxEvalBucket must be >= 1")
+    require(!corpus.columns.contains("__cid"),
+      "corpus must not carry a '__cid' column (used internally)")
     val perms = bands * rowsPerBand
     val cBand = corpus.select(id.as("__cid"),
       posexplode(bandHashArray(minhash(text, shingleLen, perms), bands, rowsPerBand))
