@@ -223,18 +223,28 @@ object SnapshotTable {
     * fingerprint must equal the source snapshot — on mismatch the new
     * files are removed and compact throws; the table is never corrupted),
     * then publishes a snapshot whose batch list is the single compacted
-    * batch. Old batch directories stay on disk for old-version readers
-    * (snapshot isolation); reclaim them with [[vacuum]] once no reader
-    * needs them. Returns false when there is nothing to compact. */
+    * batch. `onlyBatchesUnderRows` makes it INCREMENTAL: only batches
+    * under the threshold merge (bin-pack the accumulated small commits,
+    * leave the big historical batches alone). Old batch directories stay
+    * on disk for old-version readers (snapshot isolation — [[readAt]]);
+    * reclaim them with [[vacuum]] once no reader needs them. Returns
+    * false when there is nothing to compact. */
   def compact(spark: SparkSession, table: String, bucketCol: String,
       sortCols: Seq[String], numPartitions: Int = 16,
-      zOrderRes: Int = -1): Boolean = {
+      zOrderRes: Int = -1,
+      onlyBatchesUnderRows: Long = Long.MaxValue): Boolean = {
     val snap = currentSnapshot(table)
-    if (snap.batches.length <= 1) return false
-    val srcRows = snap.batches.map(_.rows).sum
-    val srcFp = snap.batches.map(_.fingerprint).foldLeft(0L)(_ ^ _)
+    // selective (incremental) mode: only batches under the row threshold
+    // are merged — at ingest scale rewriting the big historical batches
+    // every maintenance cycle would dwarf the ingest itself; the default
+    // threshold folds everything (full compaction)
+    val (small, big) = snap.batches.partition(_.rows < onlyBatchesUnderRows)
+    if (small.length <= 1) return false
+    val srcRows = small.map(_.rows).sum
+    val srcFp = small.map(_.fingerprint).foldLeft(0L)(_ ^ _)
     val batchId = s"c${snap.version + 1}"
-    val batch = writeBatch(read(spark, table), table, batchId, bucketCol,
+    val src = readSnapshot(spark, table, Snapshot(snap.version, small))
+    val batch = writeBatch(src, table, batchId, bucketCol,
       sortCols, numPartitions, zOrderRes)
     if (batch.rows != srcRows || batch.fingerprint != srcFp) {
       deleteRec(Paths.get(table, "data", s"b$batchId"))
@@ -242,7 +252,7 @@ object SnapshotTable {
         s"compact: rewritten content mismatch (rows ${batch.rows} vs $srcRows, " +
           s"fp ${batch.fingerprint.toHexString} vs ${srcFp.toHexString}) — aborted, table unchanged")
     }
-    publish(table, Snapshot(snap.version + 1, Vector(batch)))
+    publish(table, Snapshot(snap.version + 1, big :+ batch))
     true
   }
 
@@ -267,8 +277,20 @@ object SnapshotTable {
   // ---------------- read path ----------------
 
   /** Read the table at its current snapshot (only manifest-listed files). */
-  def read(spark: SparkSession, table: String): DataFrame = {
-    val snap = currentSnapshot(table)
+  def read(spark: SparkSession, table: String): DataFrame =
+    readSnapshot(spark, table, currentSnapshot(table))
+
+  /** Time travel: read the table AS OF an earlier snapshot version —
+    * manifests are immutable and retained, so any version remains readable
+    * until [[vacuum]] deletes the data dirs it references. */
+  def readAt(spark: SparkSession, table: String, version: Int): DataFrame = {
+    require(version >= 1 && version <= currentVersion(table),
+      s"version $version out of [1, ${currentVersion(table)}]")
+    readSnapshot(spark, table,
+      parseSnapshot(Files.readString(snapDir(table).resolve(s"v$version.json"))))
+  }
+
+  private def readSnapshot(spark: SparkSession, table: String, snap: Snapshot): DataFrame = {
     val paths = snap.batches.flatMap(b =>
       b.files.map(f => Paths.get(table, "data", s"b${b.batchId}", f).toString))
     if (paths.isEmpty) spark.emptyDataFrame

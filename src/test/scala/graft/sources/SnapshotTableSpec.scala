@@ -99,6 +99,31 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir).count() == 8500)
   }
 
+  test("time travel: readAt any retained version; selective compact merges only small batches") {
+    val dir = freshDir()
+    assert(SnapshotTable.commitBatch(batchDf(0, 6000, 8), dir, "big", "bucket", Seq("id")))
+    assert(SnapshotTable.commitBatch(batchDf(1, 300, 2), dir, "s1", "bucket", Seq("id")))
+    assert(SnapshotTable.commitBatch(batchDf(2, 400, 2), dir, "s2", "bucket", Seq("id")))
+    // time travel across the commit history
+    assert(SnapshotTable.readAt(spark, dir, 1).count() == 6000)
+    assert(SnapshotTable.readAt(spark, dir, 2).count() == 6300)
+    assert(SnapshotTable.readAt(spark, dir, 3).count() == 6700)
+    val fp = SnapshotTable.tableFingerprint(dir)
+    // selective: only the two small batches merge; the big one is untouched
+    assert(SnapshotTable.compact(spark, dir, "bucket", Seq("id"), numPartitions = 2,
+      onlyBatchesUnderRows = 1000L))
+    val snap = SnapshotTable.currentSnapshot(dir)
+    assert(snap.batches.map(_.batchId).toSet == Set("big", "c4"))
+    assert(snap.batches.find(_.batchId == "c4").get.rows == 700)
+    assert(SnapshotTable.tableFingerprint(dir) == fp)
+    assert(SnapshotTable.read(spark, dir).count() == 6700)
+    // the pre-compaction version still reads (manifests immutable)
+    assert(SnapshotTable.readAt(spark, dir, 3).count() == 6700)
+    // nothing else under the threshold
+    assert(!SnapshotTable.compact(spark, dir, "bucket", Seq("id"),
+      onlyBatchesUnderRows = 1000L))
+  }
+
   test("compact preserves z-order fileStats: readRange still skips files") {
     val dir = freshDir()
     val df = spark.range(0, 20000, 1, 8)
