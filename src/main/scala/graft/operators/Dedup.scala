@@ -277,8 +277,12 @@ object Dedup {
     * Scale shape: two corpus scans (band pass; shingle pass over candidate
     * suspects only, reached through a semi-join that broadcasts when the
     * candidate id set is small — the healthy case), one shuffle on (band,
-    * hash), no broadcast of the eval set anywhere. Per-corpus-row join
-    * fan-out is bounded by bands × maxEvalBucket.
+    * hash). Unlike [[decontaminate]]'s mandatory broadcast NL, nothing
+    * here REQUIRES an eval broadcast: the candidate join is an equi-join
+    * that degrades to sort-merge when the eval side exceeds broadcast
+    * thresholds (AQE may still choose a broadcast-hash for a small eval —
+    * an optimization, not a requirement). Per-corpus-row join fan-out is
+    * bounded by bands × maxEvalBucket.
     *
     * Semantics vs [[decontaminate]]: identical verification; candidate
     * recall is the LSH curve 1−(1−s^rowsPerBand)^bands (near-1 at the
