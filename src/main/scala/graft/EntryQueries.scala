@@ -632,8 +632,9 @@ object EntryQueries {
     * query REQUIREs that some were skipped (holds at every SF: the subtree
     * is one z-order block out of 8). The exact tile predicate re-applies on
     * top of the superset scan, like every manifest prune. */
-  def q28ReadRange(s: SparkSession, dir: String): DataFrame = {
-    ensureRegistered(s)
+  /** The q28/q44 fixture: two z-ordered image batches committed into a
+    * fresh temp snapshot table; returns the table path. */
+  private def readRangeTable(s: SparkSession, dir: String): String = {
     val table = tempSnapshotDir("graft_readrange")
     val n = Math.min(imageCount(dir), 20000L)
     val batches = 2
@@ -647,12 +648,29 @@ object EntryQueries {
       sources.SnapshotTable.commitBatch(images, table, s"b$b", "tile",
         Seq("image_id"), numPartitions = 8, zOrderRes = 7)
     }
-    // the res-3 cell (x=3, y=6) — contains the London hotspot — covers one
-    // contiguous morton range of res-7 descendants
+    table
+  }
+
+  /** One res-3 morton subtree of tiles as an inclusive cell range. */
+  private def readRangeBounds: (Long, Long) = {
     val anchor = graft.core.CellIndex.encodeXY(3L, 6L, 3)
     val mortonBase = (anchor & 0x03FFFFFFFFFFFFFFL) << (2 * (7 - 3))
     val loCell = (7L << 58) | mortonBase
-    val hiCell = loCell + (1L << (2 * (7 - 3))) - 1
+    (loCell, loCell + (1L << (2 * (7 - 3))) - 1)
+  }
+
+  def q28ReadRange(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val table = readRangeTable(s, dir)
+    // the res-3 cell (x=3, y=6) — contains the London hotspot — covers one
+    // contiguous morton range of res-7 descendants
+    val (loCell, hiCell) = readRangeBounds
+    rangeRollup(s, table, loCell, hiCell)
+  }
+  def q28Sql: String = OracleSqlGen.q28Sql
+
+  private def rangeRollup(s: SparkSession, table: String,
+      loCell: Long, hiCell: Long): DataFrame = {
     val (df, selected, total) = sources.SnapshotTable.readRange(s, table, loCell, hiCell)
     require(selected < total,
       s"readRange skipped no files ($selected of $total) — z-order manifest stats broken")
@@ -660,7 +678,23 @@ object EntryQueries {
       .groupBy(st.cellX(col("tile")).as("tile_x"), st.cellY(col("tile")).as("tile_y"))
       .agg(count(lit(1)).as("n"), count_distinct(col("phash")).as("n_phashes"))
   }
-  def q28Sql: String = OracleSqlGen.q28Sql
+
+  /** q28's table COMPACTED (2 batches → 1, content-verified), then the same
+    * subtree readback: the driver's oracle gate checks that compaction
+    * preserves content exactly AND the REQUIREs check that the compacted
+    * manifest still skips files — the maintenance path through the
+    * correctness gate, not just ScalaTest. */
+  def q44CompactedRange(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val table = readRangeTable(s, dir)
+    require(sources.SnapshotTable.compact(s, table, "tile", Seq("image_id"),
+      numPartitions = 8, zOrderRes = 7), "compact found nothing to merge")
+    require(sources.SnapshotTable.currentSnapshot(table).batches.length == 1,
+      "compaction did not produce a single batch")
+    val (loCell, hiCell) = readRangeBounds
+    rangeRollup(s, table, loCell, hiCell)
+  }
+  def q44Sql: String = OracleSqlGen.q28Sql
 
   /** Image near-duplicate pairs through the bounded pigeonhole Hamming
     * engine. The corpus plants bit-flip variants over the SQL-replayable
@@ -915,7 +949,8 @@ object EntryQueries {
     "q40_contamination_report" -> (q40ContaminationReport _, q40Sql),
     "q41_top_tokens" -> (q41TopTokens _, q41Sql),
     "q42_ann_index" -> (q42AnnIndex _, q42Sql),
-    "q43_radius_pairs" -> (q43RadiusPairs _, q43Sql))
+    "q43_radius_pairs" -> (q43RadiusPairs _, q43Sql),
+    "q44_compacted_range" -> (q44CompactedRange _, q44Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
