@@ -292,24 +292,47 @@ object SpatialOps {
     * grid or boundary semantics would silently depend on float rounding.
     */
   def radiusPairs(df: DataFrame, id: Column, lon: Column, lat: Column,
-      radiusDeg: Double, res: Int, scale: Int = 1000): DataFrame = {
+      radiusDeg: Double, res: Int, scale: Int = 1000): DataFrame =
+    radiusCore(df, id, lon, lat, df, id, lon, lat, radiusDeg, res, scale,
+      selfPairs = true)
+
+  /** Two-frame radius join ("left points near right points"): every
+    * (id_a from `left`, id_b from `right`) pair within planar `radiusDeg`,
+    * each exactly once — same cell-disk prefilter + exact integer residual
+    * as [[radiusPairs]], with the disk exploded on the LEFT side only
+    * (make `left` the smaller/query side when sizes differ: the disk
+    * fan-out multiplies that side by (2k+1)²). */
+  def radiusJoin(
+      left: DataFrame, lId: Column, lLon: Column, lLat: Column,
+      right: DataFrame, rId: Column, rLon: Column, rLat: Column,
+      radiusDeg: Double, res: Int, scale: Int = 1000): DataFrame =
+    radiusCore(left, lId, lLon, lLat, right, rId, rLon, rLat, radiusDeg, res,
+      scale, selfPairs = false)
+
+  private def radiusCore(
+      left: DataFrame, lId: Column, lLon: Column, lLat: Column,
+      right: DataFrame, rId: Column, rLon: Column, rLat: Column,
+      radiusDeg: Double, res: Int, scale: Int,
+      selfPairs: Boolean): DataFrame = {
     val qr = math.round(radiusDeg * scale)
     require(math.abs(radiusDeg * scale - qr) < 1e-9,
       s"radiusDeg ($radiusDeg) must be a multiple of 1/$scale")
     val k = math.ceil(radiusDeg / (180.0 / (1L << res).toDouble)).toInt
-    val cell = st.cellId(lon, lat, res)
-    val a = df.select(id.as("id_a"),
-      round(lon * scale).cast("long").as("qx_a"),
-      round(lat * scale).cast("long").as("qy_a"),
-      explode(st.cellDisk(cell, lit(k))).as("cell"))
-    val b = df.select(id.as("id_b"),
-      round(lon * scale).cast("long").as("qx_b"),
-      round(lat * scale).cast("long").as("qy_b"),
-      cell.as("cell"))
+    val a = left.select(lId.as("id_a"),
+      round(lLon * scale).cast("long").as("qx_a"),
+      round(lLat * scale).cast("long").as("qy_a"),
+      explode(st.cellDisk(st.cellId(lLon, lLat, res), lit(k))).as("cell"))
+    val b = right.select(rId.as("id_b"),
+      round(rLon * scale).cast("long").as("qx_b"),
+      round(rLat * scale).cast("long").as("qy_b"),
+      st.cellId(rLon, rLat, res).as("cell"))
     val d2 = (col("qx_a") - col("qx_b")) * (col("qx_a") - col("qx_b")) +
       (col("qy_a") - col("qy_b")) * (col("qy_a") - col("qy_b"))
+    // self mode: each unordered pair is met twice (disk membership is
+    // symmetric) — the id order keeps exactly one
+    val keep = if (selfPairs) col("id_a") < col("id_b") else lit(true)
     a.join(b, "cell")
-      .filter(col("id_a") < col("id_b") && d2 <= lit(qr * qr))
+      .filter(keep && d2 <= lit(qr * qr))
       .select(col("id_a"), col("id_b"), d2.as("qdist2"))
   }
 

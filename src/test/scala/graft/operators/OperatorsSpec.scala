@@ -124,6 +124,26 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got.toSet == brute && brute.nonEmpty)
   }
 
+  test("radiusJoin (two frames) == brute; each cross pair exactly once") {
+    val mk = (n: Int, salt: Long) => spark.range(n).select(col("id"),
+      (pmod(st.mix64(col("id") + salt), lit(360000L)).cast("double") / 1000.0 - 180.0).as("lon"),
+      (pmod(st.mix64(col("id") + salt + 1000000), lit(170000L)).cast("double") / 1000.0 - 85.0).as("lat"))
+    val l = mk(400, 7L); val r = mk(1500, 99L)
+    val got = SpatialOps.radiusJoin(l, col("id"), col("lon"), col("lat"),
+        r, col("id"), col("lon"), col("lat"), radiusDeg = 3.0, res = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == got.map(p => (p._1, p._2)).distinct.length)
+    def pts(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double, Double)].collect()
+        .map { case (i, lo, la) => (i, math.round(lo * 1000), math.round(la * 1000)) }
+    val r2 = 3000L * 3000L
+    val brute = (for {
+      (ia, xa, ya) <- pts(l); (ib, xb, yb) <- pts(r)
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) if d2 <= r2
+    } yield (ia, ib, d2)).toSet
+    assert(got.toSet == brute && brute.nonEmpty)
+  }
+
   test("tileAssign output is byte-identical across parallelism (2 vs 8)") {
     def run(parts: Int): Array[Byte] = {
       val s2 = spark.newSession()
