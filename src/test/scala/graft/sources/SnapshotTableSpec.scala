@@ -122,6 +122,13 @@ class SnapshotTableSpec extends AnyFunSuite {
     // nothing else under the threshold
     assert(!SnapshotTable.compact(spark, dir, "bucket", Seq("id"),
       onlyBatchesUnderRows = 1000L))
+    // vacuum is DESTRUCTIVE for time travel (the documented trade): the
+    // replaced small-batch dirs disappear, so the pre-compaction version
+    // no longer reads, while the current snapshot is untouched
+    val gone = SnapshotTable.vacuum(dir)
+    assert(gone.toSet == Set("bs1", "bs2"))
+    intercept[Exception] { SnapshotTable.readAt(spark, dir, 3).count() }
+    assert(SnapshotTable.read(spark, dir).count() == 6700)
   }
 
   test("compact preserves z-order fileStats: readRange still skips files") {
