@@ -19,4 +19,8 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EntryQueries.oracleQueries.map { case (k, (_, sql)) => k -> sql }
+
+  /** Untimed fixture pre-build (Bench warmup): indexes that queries reuse. */
+  def prepare(spark: SparkSession, dir: String): Unit =
+    EntryQueries.prepareFixtures(spark, dir)
 }

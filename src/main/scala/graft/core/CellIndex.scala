@@ -143,6 +143,39 @@ object CellIndex {
     arr
   }
 
+  /** Rectangular disk: all cells with |dy| ≤ ky (out-of-range y dropped) and
+    * wrapped |dx| ≤ kx (full x ring when 2·kx+1 ≥ 2^res). The anisotropic
+    * variant of [[disk]] for METERS-radius joins: longitude cells shrink by
+    * cos(lat), so the x reach (in cells) needed to cover a fixed great-circle
+    * radius grows with latitude while the y reach stays constant — a square
+    * Chebyshev disk sized for the x reach would pay (2k+1)² fan-out where
+    * (2kx+1)·(2ky+1) suffices. Sorted ascending for determinism. */
+  def rect(cell: Long, kx: Int, ky: Int): Array[Long] = {
+    val r = res(cell)
+    val n = 1L << r
+    val cx = x(cell); val cy = y(cell)
+    val fullX = 2L * kx + 1 >= n
+    val loX = if (fullX) 0L else -kx.toLong
+    val hiX = if (fullX) n - 1 else kx.toLong
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var dy = -ky.toLong
+    while (dy <= ky) {
+      val ny = cy + dy
+      if (ny >= 0 && ny < n) {
+        var dx = loX
+        while (dx <= hiX) {
+          val nx = if (fullX) dx else ((cx + dx) % n + n) % n
+          out += encodeXY(nx, ny, r)
+          dx += 1
+        }
+      }
+      dy += 1
+    }
+    val arr = out.distinct.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
   /** Cells with Chebyshev distance in [kLo, kHi] — the incremental shell for
     * ring-expansion kNN. Computed as disk(kHi) \ disk(kLo−1) so it stays
     * exact under antimeridian wrap: a naive per-ring enumeration re-emits

@@ -17,6 +17,7 @@ object Kernels {
   def cellRing(cell: Long, k: Int): Array[Long] = CellIndex.ring(cell, k)
   def cellDisk(cell: Long, k: Int): Array[Long] = CellIndex.disk(cell, k)
   def cellShell(cell: Long, kLo: Int, kHi: Int): Array[Long] = CellIndex.shell(cell, kLo, kHi)
+  def cellRect(cell: Long, kx: Int, ky: Int): Array[Long] = CellIndex.rect(cell, kx, ky)
   def cellX(cell: Long): Long = CellIndex.x(cell)
   def cellY(cell: Long): Long = CellIndex.y(cell)
   def cellCenterLon(cell: Long): Double = CellIndex.center(cell)._1

@@ -26,6 +26,9 @@ object KernelBridge {
   def cellShell(cell: Long, kLo: Int, kHi: Int): ArrayData =
     new GenericArrayData(Kernels.cellShell(cell, kLo, kHi))
 
+  def cellRect(cell: Long, kx: Int, ky: Int): ArrayData =
+    new GenericArrayData(Kernels.cellRect(cell, kx, ky))
+
   def cellCover(wkb: Array[Byte], res: Int, maxCells: Int): ArrayData =
     new GenericArrayData(Kernels.cellCover(wkb, res, maxCells))
 

@@ -104,6 +104,25 @@ case class StCellShell(cell: Expression, kLo: Expression, kHi: Expression)
   override def prettyName: String = "st_cellshell"
 }
 
+/** st_cellRect(cell, kx, ky) → Array[Long] — rectangular disk (|dx| ≤ kx
+  * wrapped, |dy| ≤ ky clamped): the anisotropic prefilter for meters-radius
+  * joins where the x reach grows with latitude. */
+case class StCellRect(cell: Expression, kx: Expression, ky: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def first: Expression = cell
+  override def second: Expression = kx
+  override def third: Expression = ky
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(Kernels.cellRect(a.asInstanceOf[Long], b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.KernelBridge.cellRect($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(cell = f, kx = s, ky = t)
+  override def prettyName: String = "st_cellrect"
+}
+
 /** st_cellCover(wkb, res) → Array[Long] — covering cells (superset). */
 case class StCellCover(geom: Expression, res: Expression, maxCells: Expression)
     extends TernaryExpression {
@@ -533,6 +552,8 @@ object st {
     col(StCellDisk(asL(ex(cell)), asI(ex(k))))
   def cellShell(cell: Column, kLo: Column, kHi: Column): Column =
     col(StCellShell(asL(ex(cell)), asI(ex(kLo)), asI(ex(kHi))))
+  def cellRect(cell: Column, kx: Column, ky: Column): Column =
+    col(StCellRect(asL(ex(cell)), asI(ex(kx)), asI(ex(ky))))
   def cellCover(geom: Column, res: Int, maxCells: Int = 4096): Column =
     col(StCellCover(ex(geom), Literal(res), Literal(maxCells)))
   def point(lon: Column, lat: Column): Column =
@@ -581,6 +602,7 @@ object st {
     one("st_cellring") { e => StCellRing(asL(e(0)), asI(e(1))) }
     one("st_celldisk") { e => StCellDisk(asL(e(0)), asI(e(1))) }
     one("st_cellshell") { e => StCellShell(asL(e(0)), asI(e(1)), asI(e(2))) }
+    one("st_cellrect") { e => StCellRect(asL(e(0)), asI(e(1)), asI(e(2))) }
     one("st_cellcover") { e =>
       StCellCover(e(0), asI(e(1)), if (e.length > 2) asI(e(2)) else Literal(4096))
     }

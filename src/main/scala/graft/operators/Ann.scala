@@ -230,6 +230,54 @@ object Ann {
       java.nio.file.Paths.get(table, "codebook.json"), cb.render)
   }
 
+  private def loadCodebook(table: String): (Int, Array[Array[Long]]) = {
+    import graft.core.{Json, JObj, JArr, JNum}
+    val cb = Json.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(table, "codebook.json"))).asInstanceOf[JObj]
+    val scale = cb("scale").asInstanceOf[JNum].v.toInt
+    val centroids = cb("centroids").asInstanceOf[JArr].items.map(
+      _.asInstanceOf[JArr].items.map(_.asInstanceOf[JNum].v.toLong).toArray).toArray
+    (scale, centroids)
+  }
+
+  /** Per-append drift telemetry from [[appendToIvfIndex]]: the assigned
+    * quantized squared distances of the new rows to their clusters. A
+    * rising mean across appends means the frozen codebook no longer fits
+    * the incoming distribution — recall decays; rebuild the index. */
+  final case class IvfAppendStats(committed: Boolean, rows: Long,
+      meanDist: Double, maxDist: Long)
+
+  /** Append NEW rows to an EXISTING [[buildIvfIndex]] table: assign them to
+    * the FROZEN codebook (no retraining) and commit as a new snapshot batch
+    * — the continuously-ingesting corpus path; without it, index-once /
+    * query-many means index-once-EVER. [[queryIvfIndex]] prunes across all
+    * batches (per-batch manifest file stats), so queries after an append
+    * are bit-identical to a from-scratch build on the union corpus
+    * WHENEVER that build would train the same codebook (deterministic
+    * trainer caveat — spec-pinned with iters=0 seeds drawn from the base
+    * corpus). As the incoming distribution drifts from the training
+    * distribution, recall against the frozen codebook decays — watch the
+    * returned [[IvfAppendStats]] and rebuild when the assigned-distance
+    * mean rises. `committed = false` means `batchId` was already in the
+    * manifest (exactly-once resume — nothing written). */
+  def appendToIvfIndex(newRows: DataFrame, id: Column, emb: Column,
+      table: String, batchId: String, numPartitions: Int = 8): IvfAppendStats = {
+    require(batchId != "index", "appendToIvfIndex: 'index' is the build batch id")
+    val (scale, centroids) = loadCodebook(table)
+    val assigned = assignPass(
+        newRows.select(id.as("id"), emb.as("emb"), quantize(emb, scale).as("q")), centroids)
+      .select(col("cluster").as("bucket"), col("id"), col("emb"), col("dist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = assigned.agg(count(lit(1)), avg(col("dist")), max(col("dist"))).collect()(0)
+      val rows = m.getLong(0)
+      require(rows > 0, "appendToIvfIndex: empty append")
+      val committed = graft.sources.SnapshotTable.commitBatch(
+        assigned.drop("dist"), table, batchId, "bucket", Seq("id"), numPartitions)
+      IvfAppendStats(committed, rows, m.getDouble(1), m.getLong(2))
+    } finally { assigned.unpersist(); () }
+  }
+
   /** Query a [[buildIvfIndex]] table: load the codebook sidecar, probe each
     * query's nearest clusters, open ONLY the files whose manifest bucket
     * range hits a probed cluster (`SnapshotTable.readBuckets` — disk-level
@@ -241,12 +289,7 @@ object Ann {
       spark: org.apache.spark.sql.SparkSession, table: String,
       queries: DataFrame, qId: Column, qEmb: Column,
       k: Int, probes: Int = 3): (DataFrame, Int, Int) = {
-    import graft.core.{Json, JObj, JArr, JNum}
-    val cb = Json.parse(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(table, "codebook.json"))).asInstanceOf[JObj]
-    val scale = cb("scale").asInstanceOf[JNum].v.toInt
-    val centroids = cb("centroids").asInstanceOf[JArr].items.map(
-      _.asInstanceOf[JArr].items.map(_.asInstanceOf[JNum].v.toLong).toArray).toArray
+    val (scale, centroids) = loadCodebook(table)
     val probed = probeClusters(queries, qId, qEmb, centroids, probes, scale)
     // the probed cluster SET is tiny (≤ kClusters) — collect it to drive
     // manifest file selection

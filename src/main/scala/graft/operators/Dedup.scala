@@ -313,8 +313,13 @@ object Dedup {
     // persist it (eval is big enough to forbid broadcast, small enough to
     // cache; the alternative re-scans the eval source and re-runs the
     // MinHash kernel per consumer)
+    // dedup on the TEXT, not the hash: a 64-bit collision between two
+    // distinct eval texts would silently discard one — an under-drop, the
+    // exact failure the operator's invariant forbids. Colliding distinct
+    // texts sharing an __eid downstream only widen the verify join (each
+    // suspect checks against both texts — over-check, never under-drop).
     val eKeyed = evalDf.select(xxhash64(evalText.cast("string")).as("__eid"),
-      evalText.as("__etext")).dropDuplicates("__eid")
+      evalText.as("__etext")).dropDuplicates("__etext")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheTracker.register(eKeyed)
     val eBand = eKeyed.select(col("__eid"),

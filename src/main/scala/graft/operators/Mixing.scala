@@ -162,13 +162,19 @@ object Mixing {
     concat_ws("#", key, pmod(st.mix64(id), lit(nShards.toLong)).cast("string"))
   }
 
-  /** Per-shard budget map for [[budgetCap]] over [[shardKey]] keys: each of
-    * the nShards sub-keys gets ⌊budget/nShards⌋ (the summed cap is within
-    * nShards−1 of the original; the uniform id-shard makes per-shard spend
-    * near-equal, so the cap error stays that small in practice). */
+  /** Per-shard budget map for [[budgetCap]] over [[shardKey]] keys: shard i
+    * gets ⌊budget/nShards⌋ plus one extra unit for the first budget mod
+    * nShards shards, so the summed cap equals the original budget EXACTLY —
+    * a plain floor would zero out any key whose budget < nShards (silently
+    * dropping every row of that key) and lose up to nShards−1 units
+    * otherwise. The uniform id-shard makes per-shard spend near-equal, so
+    * per-shard cap error stays within one unit in practice. */
   def shardBudgets(budgets: Map[String, Long], nShards: Int): Map[String, Long] = {
     require(nShards >= 1, "nShards must be >= 1")
-    for { (k, b) <- budgets; i <- 0 until nShards } yield s"$k#$i" -> b / nShards
+    for { (k, b) <- budgets; i <- 0 until nShards } yield {
+      require(b >= 0, s"budget for '$k' must be >= 0: $b")
+      s"$k#$i" -> (b / nShards + (if (i < (b % nShards)) 1L else 0L))
+    }
   }
 
   /** Deterministic holdout split: (train, heldout) by the same id-uniform —

@@ -309,6 +309,77 @@ object SpatialOps {
     radiusCore(left, lId, lLon, lLat, right, rId, rLon, rLat, radiusDeg, res,
       scale, selfPairs = false)
 
+  /** [[radiusPairs]] with TRUE METERS semantics: every unordered pair within
+    * great-circle haversine `radiusMeters`, each exactly once. The planar
+    * degrees variant lies at latitude (longitude degrees shrink by cos φ);
+    * this one prefilters with a latitude-aware RECTANGULAR cell disk and
+    * verifies with the exact haversine residual.
+    *
+    * Prefilter bound (per row at latitude φ): any partner within D meters
+    * satisfies |Δφ| ≤ D/R, so ky = ⌊ΔlatDeg/cellH⌋+1 is a constant; and
+    * haversine ≥ 2R·asin(√(cosφ_q·cosφ_p)·|sin(Δλ/2)|) with
+    * √(cosφ_q·cosφ_p) ≥ cos φ* for φ* = min(90°, |φ|+ΔlatDeg) gives
+    * |sin(Δλ/2)| ≤ sin(D/2R)/cos φ* — per-row kx, collapsing to the full x
+    * ring when cos φ* ≤ sin(D/2R) (polar caps). BOTH members of a true
+    * pair produce covering rects (each side's bound uses its own φ*, which
+    * dominates the partner's latitude), so the disk-explode-one-side ×
+    * id_a < id_b dedup of [[radiusPairs]] stays exact.
+    *
+    * Deliberately NOT an oracle query: like `knnJoinHaversine`, cross-engine
+    * libm differences make float great-circle distances at the radius
+    * boundary unreproducible in DuckDB — pinned by ScalaTest == brute
+    * haversine (incl. high-latitude and antimeridian points) instead. */
+  def radiusPairsHaversine(df: DataFrame, id: Column, lon: Column, lat: Column,
+      radiusMeters: Double, res: Int): DataFrame =
+    radiusHaversineCore(df, id, lon, lat, df, id, lon, lat, radiusMeters, res,
+      selfPairs = true)
+
+  /** Two-frame meters-radius join — [[radiusPairsHaversine]] semantics over
+    * (left, right); the rect disk is exploded on the LEFT side only, so make
+    * `left` the smaller/query side. */
+  def radiusJoinHaversine(
+      left: DataFrame, lId: Column, lLon: Column, lLat: Column,
+      right: DataFrame, rId: Column, rLon: Column, rLat: Column,
+      radiusMeters: Double, res: Int): DataFrame =
+    radiusHaversineCore(left, lId, lLon, lLat, right, rId, rLon, rLat,
+      radiusMeters, res, selfPairs = false)
+
+  private def radiusHaversineCore(
+      left: DataFrame, lId: Column, lLon: Column, lLat: Column,
+      right: DataFrame, rId: Column, rLon: Column, rLat: Column,
+      radiusMeters: Double, res: Int, selfPairs: Boolean): DataFrame = {
+    require(radiusMeters > 0, s"radiusMeters must be positive: $radiusMeters")
+    val n = 1L << res
+    val cellH = 180.0 / n.toDouble
+    val cellW = 360.0 / n.toDouble
+    val R = 6371008.8 // mean earth radius — same constant as GeomOps.haversine
+    val dLatDeg = Math.toDegrees(radiusMeters / R)
+    val ky = math.floor(dLatDeg / cellH).toInt + 1
+    // sin(D/2R) inflated by 1 ulp-ish so column-side float rounding can never
+    // shave the prefilter below the true bound (superset is always safe)
+    val sinHalf =
+      Math.min(1.0, Math.sin(Math.min(Math.PI, radiusMeters / R) / 2.0) * (1 + 1e-12))
+    val kxFull = (n / 2).toInt // 2·kxFull+1 ≥ n → rect emits the full x ring
+    def kxCol(latC: Column): Column = {
+      val phiStar = least(lit(90.0), abs(latC) + lit(dLatDeg))
+      val cosPhi = cos(radians(phiStar))
+      when(cosPhi <= lit(sinHalf), lit(kxFull))
+        .otherwise((floor(degrees(lit(2.0) * asin(lit(sinHalf) / cosPhi)) / lit(cellW))
+          .cast("int") + 1))
+    }
+    val a = left.select(lId.as("id_a"), lLon.as("lon_a"), lLat.as("lat_a"),
+      explode(st.cellRect(st.cellId(lLon, lLat, res),
+        least(kxCol(lLat), lit(kxFull)), lit(ky))).as("cell"))
+    val b = right.select(rId.as("id_b"), rLon.as("lon_b"), rLat.as("lat_b"),
+      st.cellId(rLon, rLat, res).as("cell"))
+    val dist = st.haversine(col("lon_a"), col("lat_a"), col("lon_b"), col("lat_b"))
+    val keep = if (selfPairs) col("id_a") < col("id_b") else lit(true)
+    a.join(b, "cell")
+      .withColumn("dist_m", dist)
+      .filter(keep && col("dist_m") <= lit(radiusMeters))
+      .select(col("id_a"), col("id_b"), col("dist_m"))
+  }
+
   private def radiusCore(
       left: DataFrame, lId: Column, lLon: Column, lLat: Column,
       right: DataFrame, rId: Column, rLon: Column, rLat: Column,
@@ -317,7 +388,15 @@ object SpatialOps {
     val qr = math.round(radiusDeg * scale)
     require(math.abs(radiusDeg * scale - qr) < 1e-9,
       s"radiusDeg ($radiusDeg) must be a multiple of 1/$scale")
-    val k = math.ceil(radiusDeg / (180.0 / (1L << res).toDouble)).toInt
+    // Ring count must cover the quantization slack: cells come from TRUE
+    // coords but membership uses round(coord·scale), so a pair with
+    // quantized distance ≤ qr can be up to radiusDeg + 1/scale apart in
+    // true coords (each axis round is off by ≤ 0.5/scale per point) —
+    // floor(D/cellH)+1 cells. ceil(radiusDeg/cellH) alone silently drops
+    // boundary pairs whenever radiusDeg is within 1/scale of a multiple of
+    // the cell height (e.g. res=6 h=2.8125, radiusDeg=2.812).
+    val cellH = 180.0 / (1L << res).toDouble
+    val k = math.floor((radiusDeg + 1.0 / scale) / cellH).toInt + 1
     val a = left.select(lId.as("id_a"),
       round(lLon * scale).cast("long").as("qx_a"),
       round(lLat * scale).cast("long").as("qy_a"),

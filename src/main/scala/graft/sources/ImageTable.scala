@@ -137,17 +137,24 @@ object ImageTable {
     private val pool = new java.util.HashMap[Long, BufferedImage]()
     private def destFor(r: javax.imageio.ImageReader, fmtKey: Long): BufferedImage = {
       val w = r.getWidth(0); val h = r.getHeight(0)
-      if (w > 0xFFFFFF || h > 0xFFFFFF) return null
-      val key = (fmtKey << 48) | (w.toLong << 24) | h.toLong
+      if (w > 0x3FFFFF || h > 0x3FFFFF) return null
+      // the first advertised type is what a default read() allocates — pooled
+      // pixels are bit-identical to the unpooled path. The pool key MUST
+      // include that type, not just (fmt,w,h): a grayscale JPEG after an RGB
+      // JPEG of the same dimensions would otherwise receive the pooled RGB
+      // destination and the reader throws on the band mismatch. TYPE_CUSTOM
+      // layouts (e.g. CMYK JPEG) aren't discriminated by the int type —
+      // decode those unpooled.
+      val types = r.getImageTypes(0)
+      if (!types.hasNext) return null
+      val spec = types.next()
+      val bt = spec.getBufferedImageType
+      if (bt == BufferedImage.TYPE_CUSTOM) return null
+      val key = (fmtKey << 50) | (bt.toLong << 44) | (w.toLong << 22) | h.toLong
       var img = pool.get(key)
       if (img == null && pool.size < 16) { // bounded pool; odd sizes decode unpooled
-        val types = r.getImageTypes(0)
-        // the first advertised type is what a default read() allocates —
-        // pooled pixels are bit-identical to the unpooled path
-        if (types.hasNext) {
-          img = types.next().createBufferedImage(w, h)
-          pool.put(key, img)
-        }
+        img = spec.createBufferedImage(w, h)
+        pool.put(key, img)
       }
       img
     }

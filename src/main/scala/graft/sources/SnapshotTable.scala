@@ -33,6 +33,13 @@ import graft.core.{Json, JValue, JObj, JArr, JStr, JNum}
   */
 object SnapshotTable {
 
+  /** Thrown when two writers race to publish the same next snapshot version
+    * — the loser's data files are intact but unreferenced; re-read the
+    * current snapshot and retry the publish (a [[commitBatch]] retries
+    * automatically; a [[compact]] must NOT auto-retry, its source set may
+    * have changed under it). */
+  final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
   final case class BucketStat(bucket: Long, rows: Long, fingerprint: Long)
   /** Iceberg-manifest-style per-file column stats: the min/max of the
     * z-order bucket column per data file, recorded at commit so readers can
@@ -51,7 +58,14 @@ object SnapshotTable {
 
   def currentVersion(table: String): Int = {
     val latest = snapDir(table).resolve("LATEST")
-    if (Files.exists(latest)) Files.readString(latest).trim.toInt else 0
+    var v = if (Files.exists(latest)) Files.readString(latest).trim.toInt else 0
+    // heal the publish gap: a writer creates v{N+1}.json (the CAS token)
+    // BEFORE updating LATEST — if it crashed or hasn't gotten there yet, the
+    // newer version file IS the committed truth (its CREATE_NEW succeeded);
+    // probing forward keeps every reader/writer on the real head instead of
+    // spinning conflicts against a stale LATEST
+    while (Files.exists(snapDir(table).resolve(s"v${v + 1}.json"))) v += 1
+    v
   }
 
   def currentSnapshot(table: String): Snapshot = {
@@ -133,8 +147,25 @@ object SnapshotTable {
     if (snap.batchIds.contains(batchId)) return false
     val batch = writeBatch(df, table, batchId, bucketCol, sortCols,
       numPartitions, zOrderRes)
-    publish(table, Snapshot(snap.version + 1, snap.batches :+ batch))
-    true
+    // lock-free commit: publish CASes on the version file; on conflict the
+    // batch's data files are untouched (they live under this batchId's own
+    // dir), so re-reading the winner's snapshot and re-appending is safe —
+    // unless the winner already committed this very batchId (resume race).
+    var attempts = 0
+    while (true) {
+      val cur = currentSnapshot(table)
+      if (cur.batchIds.contains(batchId)) return false
+      try {
+        publish(table, Snapshot(cur.version + 1, cur.batches :+ batch))
+        return true
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+          Thread.sleep(5L * attempts) // let the racing winner finish its move
+      }
+    }
+    false // unreachable
   }
 
   /** Write one batch's data files + compute its manifest stats WITHOUT
@@ -194,10 +225,13 @@ object SnapshotTable {
       rel -> FileStat(rel, xs.map(_._2).min, xs.map(_._2).max, xs.map(_._3).sum)
     }.toMap
 
-    val files = Files.walk(batchDir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(p => batchDir.relativize(p).toString)
-      .toVector.sorted
+    val walk = Files.walk(batchDir)
+    val files =
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => batchDir.relativize(p).toString)
+        .toVector.sorted
+      finally walk.close()
     // a listed file with no stats row holds no rows → empty [min > max]
     // range, always skippable
     val fileStats = files.map(f =>
@@ -208,9 +242,31 @@ object SnapshotTable {
     Batch(batchId, files, totalRows, totalFp, bucketStats, fileStats)
   }
 
+  /** Publish snapshot `next` with an optimistic-concurrency check: the
+    * version file is created with CREATE_NEW, so of two writers that both
+    * read version N and race to publish N+1, exactly one wins — the loser
+    * gets a retryable [[ConcurrentCommitException]] instead of silently
+    * clobbering the winner's snapshot (a blind read-modify-write of LATEST
+    * would lose one writer's batches). LATEST is written only by the winner,
+    * after its version file exists. */
   private def publish(table: String, next: Snapshot): Unit = {
     Files.createDirectories(snapDir(table))
-    Files.writeString(snapDir(table).resolve(s"v${next.version}.json"), renderSnapshot(next))
+    // the CAS token is a CREATE_NEW (O_CREAT|O_EXCL — truly atomic) lock
+    // file, separate from the manifest itself so the manifest can be written
+    // tmp-then-rename: readers probing forward only ever see a COMPLETE
+    // v{N}.json (a CREATE_NEW writeString would expose partially-written
+    // JSON under the final name)
+    try Files.createFile(snapDir(table).resolve(s"v${next.version}.lock"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(
+          s"concurrent commit: snapshot v${next.version} already published by " +
+            s"another writer — re-read the current snapshot and retry")
+    }
+    val tmp = snapDir(table).resolve(s".v${next.version}.json.tmp")
+    Files.writeString(tmp, renderSnapshot(next))
+    Files.move(tmp, snapDir(table).resolve(s"v${next.version}.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Files.writeString(snapDir(table).resolve("LATEST"), next.version.toString)
   }
 
@@ -256,17 +312,29 @@ object SnapshotTable {
     true
   }
 
-  /** Delete data directories no batch of the CURRENT snapshot references
-    * (orphans from killed writers, batches replaced by [[compact]]).
-    * DESTRUCTIVE for time travel: readers of older snapshot versions lose
-    * their files — run only once no such reader exists. Returns the
-    * deleted directory names. */
-  def vacuum(table: String): Seq[String] = {
+  /** Delete data directories referenced by NO batch of the last
+    * `retainVersions` snapshots (orphans from killed writers, batches
+    * replaced by [[compact]] that have aged out of the retention window).
+    * Time travel via [[readAt]] keeps working for every retained version;
+    * older versions' manifests stay readable as metadata but their
+    * vacuumed data dirs are gone — [[readAt]] detects that and throws a
+    * clear retention error rather than a parquet FileNotFound mid-scan.
+    * `retainVersions = 1` (the default) keeps only the current snapshot —
+    * maximal reclaim, all history destroyed; run that only once no
+    * old-version reader exists. Returns the deleted directory names. */
+  def vacuum(table: String, retainVersions: Int = 1): Seq[String] = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1: $retainVersions")
     val dataDir = Paths.get(table, "data")
     if (!Files.exists(dataDir)) return Nil
-    val live = currentSnapshot(table).batches.map(b => s"b${b.batchId}").toSet
-    val gone = Files.list(dataDir).iterator().asScala
-      .filter(p => !live.contains(p.getFileName.toString)).toVector
+    val cur = currentVersion(table)
+    val live = (math.max(1, cur - retainVersions + 1) to cur).flatMap { v =>
+      snapshotAt(table, v).batches.map(b => s"b${b.batchId}")
+    }.toSet
+    val listing = Files.list(dataDir)
+    val gone =
+      try listing.iterator().asScala
+        .filter(p => !live.contains(p.getFileName.toString)).toVector
+      finally listing.close()
     gone.foreach(deleteRec)
     gone.map(_.getFileName.toString)
   }
@@ -282,13 +350,25 @@ object SnapshotTable {
 
   /** Time travel: read the table AS OF an earlier snapshot version —
     * manifests are immutable and retained, so any version remains readable
-    * until [[vacuum]] deletes the data dirs it references. */
+    * until [[vacuum]]'s retention window drops the data dirs it references
+    * (then this throws a clear retention error, checked up front, rather
+    * than a parquet FileNotFound mid-scan). */
   def readAt(spark: SparkSession, table: String, version: Int): DataFrame = {
     require(version >= 1 && version <= currentVersion(table),
       s"version $version out of [1, ${currentVersion(table)}]")
-    readSnapshot(spark, table,
-      parseSnapshot(Files.readString(snapDir(table).resolve(s"v$version.json"))))
+    val snap = snapshotAt(table, version)
+    val missing = snap.batches.map(_.batchId)
+      .filterNot(id => Files.exists(Paths.get(table, "data", s"b$id")))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"snapshot v$version is no longer readable: batch dir(s) " +
+        s"${missing.map("b" + _).mkString(", ")} were vacuumed (outside the " +
+        s"retention window) — only versions whose data dirs were retained " +
+        s"support time travel")
+    readSnapshot(spark, table, snap)
   }
+
+  private def snapshotAt(table: String, version: Int): Snapshot =
+    parseSnapshot(Files.readString(snapDir(table).resolve(s"v$version.json")))
 
   private def readSnapshot(spark: SparkSession, table: String, snap: Snapshot): DataFrame = {
     val paths = snap.batches.flatMap(b =>
@@ -378,7 +458,14 @@ object SnapshotTable {
   }
 
   private[graft] def deleteRec(p: Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRec)
+    if (Files.isDirectory(p)) {
+      // Files.list holds a directory handle until closed — an unclosed
+      // stream per directory leaks handles across a long-running ingest
+      // driver's periodic compact+vacuum cycles
+      val listing = Files.list(p)
+      val children = try listing.iterator().asScala.toVector finally listing.close()
+      children.foreach(deleteRec)
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -205,6 +205,26 @@ class CellIndexSpec extends AnyFunSuite {
     assert(parts.flatMap(_.toList).toSet == all)
   }
 
+  test("rect: rect(k,k) == disk(k); full x wrap; asymmetric rows; pole clamp") {
+    val probes = for {
+      r <- Seq(3, 5)
+      lon <- Seq(-179.9, 0.0, 179.9)
+      lat <- Seq(-89.9, 0.0, 89.9)
+    } yield encode(lon, lat, r)
+    for (c <- probes; k <- 0 to 2)
+      assert(rect(c, k, k).toSeq == disk(c, k).toSeq,
+        s"rect($k,$k) != disk($k) at res=${res(c)} cell=$c")
+    // full wrap: 2·kx+1 >= n ⇒ every valid y row carries the complete x ring
+    val c5 = encode(10.0, 40.0, 5); val n = 1 << 5
+    assert(rect(c5, n / 2, 1).length == 3 * n)
+    // asymmetric: kx=2, ky=0 is one row of width 5
+    val row = rect(c5, 2, 0)
+    assert(row.length == 5 && row.forall(y(_) == y(c5)))
+    // pole clamp: ky rows above the top edge are dropped, x ring intact
+    val top = encode(0.0, 89.99, 5)
+    assert(rect(top, n / 2, 2).length == 3 * n) // rows y-2..y, each full
+  }
+
   test("cover superset: every vertex's cell is in the cover") {
     val poly = GPolygon(Vector(Vector(Pt(10, 10), Pt(12.3, 10), Pt(12.3, 11.7), Pt(10, 11.7), Pt(10, 10))))
     val cells = cover(poly, 10)

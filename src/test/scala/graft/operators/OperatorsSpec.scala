@@ -144,6 +144,83 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got.toSet == brute && brute.nonEmpty)
   }
 
+  test("radiusPairs: quantization-slack band at the cell-height boundary (ADVICE r04 regression)") {
+    // cells come from TRUE coords, membership from round(coord·scale): a
+    // pair with quantized distance == qr can sit ⌊(radius+1/scale)/h⌋+1
+    // cells apart. res=6 ⇒ h=2.8125; radiusDeg=2.812 is within 1/scale of a
+    // multiple of h — the band the old k=⌈radius/h⌉ silently dropped.
+    val adversarial = Seq((1L, 0.0, -84.3754), (2L, 0.0, -81.5625), (3L, 10.0, 50.0))
+      .toDF("id", "lon", "lat")
+    val got = SpatialOps.radiusPairs(adversarial, col("id"), col("lon"), col("lat"),
+        radiusDeg = 2.812, res = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"boundary pair dropped: $got")
+    // and the generic brute equality holds AT the adversarial radius
+    val pts = seededPoints(2000)
+    val eng = SpatialOps.radiusPairs(pts, col("id"), col("lon"), col("lat"),
+        radiusDeg = 2.812, res = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    val local = pts.as[(Long, Double, Double)].collect()
+      .map { case (i, lo, la) => (i, math.round(lo * 1000), math.round(la * 1000)) }
+    val r2 = 2812L * 2812L
+    val brute = (for {
+      (ia, xa, ya) <- local; (ib, xb, yb) <- local if ia < ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) if d2 <= r2
+    } yield (ia, ib, d2)).toSet
+    assert(eng == brute && brute.nonEmpty)
+  }
+
+  /** Points spanning the polar caps and the antimeridian — the cases where
+    * planar-degree radii lie and the lat-aware rect prefilter must widen. */
+  def globalPoints(n: Int, salt: Long): DataFrame =
+    spark.range(n).select(col("id"),
+      (pmod(st.mix64(col("id") + salt), lit(360000L)).cast("double") / 1000.0 - 180.0).as("lon"),
+      (pmod(st.mix64(col("id") + salt + 1000000), lit(179000L)).cast("double") / 1000.0 - 89.5).as("lat"))
+
+  test("radiusPairsHaversine == brute haversine pairs (incl. polar caps + antimeridian)") {
+    val extremes = Seq(
+      (100001L, 179.95, 89.2), (100002L, -179.95, 89.3), (100003L, 0.0, 89.9),
+      (100004L, 90.0, -89.8), (100005L, -90.0, -89.85), (100006L, 179.9, -0.01),
+      (100007L, -179.9, 0.01)).toDF("id", "lon", "lat")
+    val pts = globalPoints(1200, 3L).unionByName(extremes).cache()
+    val radius = 300000.0 // 300 km
+    val got = SpatialOps.radiusPairsHaversine(pts, col("id"), col("lon"), col("lat"),
+        radius, res = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(got.length == got.distinct.length, "pair emitted twice")
+    val local = pts.as[(Long, Double, Double)].collect()
+    val brute = (for {
+      (ia, loa, laa) <- local; (ib, lob, lab) <- local if ia < ib
+      if graft.core.GeomOps.haversine(loa, laa, lob, lab) <= radius
+    } yield (ia, ib)).toSet
+    assert(got.toSet == brute, {
+      val miss = brute -- got.toSet; val extra = got.toSet -- brute
+      s"missing=$miss extra=$extra"
+    })
+    assert(brute.nonEmpty)
+    // the polar points MUST participate (full-wrap x path exercised)
+    assert(brute.exists { case (a, b) => a > 100000L || b > 100000L },
+      "test corpus produced no polar pairs — weaken nothing, fix the data")
+  }
+
+  test("radiusJoinHaversine (two frames) == brute; exactly once per cross pair") {
+    val l = globalPoints(200, 7L)
+      .unionByName(Seq((200001L, 0.0, 89.7), (200002L, -179.9, -89.6)).toDF("id", "lon", "lat"))
+    val r = globalPoints(1000, 99L)
+    val radius = 500000.0 // 500 km
+    val got = SpatialOps.radiusJoinHaversine(l, col("id"), col("lon"), col("lat"),
+        r, col("id"), col("lon"), col("lat"), radius, res = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(got.length == got.distinct.length)
+    val lp = l.as[(Long, Double, Double)].collect()
+    val rp = r.as[(Long, Double, Double)].collect()
+    val brute = (for {
+      (ia, loa, laa) <- lp; (ib, lob, lab) <- rp
+      if graft.core.GeomOps.haversine(loa, laa, lob, lab) <= radius
+    } yield (ia, ib)).toSet
+    assert(got.toSet == brute && brute.nonEmpty)
+  }
+
   test("tileAssign output is byte-identical across parallelism (2 vs 8)") {
     def run(parts: Int): Array[Byte] = {
       val s2 = spark.newSession()
@@ -679,6 +756,27 @@ class DedupAnnSpec extends AnyFunSuite {
       s"sharded spend $shardedSpend too far below plain $plain")
   }
 
+  test("mixing: shardBudgets preserves every budget exactly; budgets below nShards survive") {
+    val nShards = 8
+    val budgets = Map("tiny" -> 3L, "big" -> 1001L, "zero" -> 0L)
+    val m = Mixing.shardBudgets(budgets, nShards)
+    // exact-sum invariant per key (the old floor lost up to nShards-1 units
+    // and zeroed any budget < nShards — silently dropping the whole key)
+    budgets.foreach { case (k, b) =>
+      assert((0 until nShards).map(i => m(s"$k#$i")).sum == b, s"key $k")
+    }
+    assert((0 until 3).forall(i => m(s"tiny#$i") == 1L) &&
+      (3 until nShards).forall(i => m(s"tiny#$i") == 0L))
+    // end-to-end: a small budget over sharded keys spends EXACTLY its cap
+    // (unit costs), instead of dropping every row
+    val rows = (0L until 100L).map(i => (i, "tiny", 1L)).toDF("id", "key", "cost")
+    val spent = Mixing.budgetCap(rows,
+        Mixing.shardKey(col("key"), col("id"), nShards), col("id"), col("cost"),
+        Mixing.shardBudgets(Map("tiny" -> 3L), nShards))
+      .agg(sum("cost")).as[Long].collect().head
+    assert(spent == 3L, s"small sharded budget spent $spent, want 3")
+  }
+
   test("mixing: globalOrder == exact rank model; invariant to partitioning, shardBits; epoch reshuffles") {
     val n = 3000L
     val rows = spark.range(n).toDF("id")
@@ -758,6 +856,50 @@ class DedupAnnSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
   }
 
+  test("appendToIvfIndex: frozen-codebook append == from-scratch build on the union") {
+    // the equality contract holds exactly when both builds train the SAME
+    // codebook: iters=0 makes centroids = the k lowest unsigned-mix64-id
+    // rows, so keeping those seed rows in the BASE corpus freezes the
+    // codebook — append(new)+query is then bit-identical to building on the
+    // union. (With drift the codebook differs and only recall degrades —
+    // that's the documented rebuild trigger, watched via IvfAppendStats.)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val ids = emb.select("vec_id").as[Long].collect()
+    // the 50 ids LAST in unsigned-mix64 order can never be iters=0 seeds
+    val appendIds = ids.sortBy(i => Kernels.mix64(i) ^ Long.MinValue).takeRight(50).toSet
+    val base = emb.filter(!col("vec_id").isInCollection(appendIds))
+    val add = emb.filter(col("vec_id").isInCollection(appendIds))
+    val queries = emb.filter(col("vec_id") < 5)
+    def results(table: String) = {
+      val (res, _, _) = Ann.queryIvfIndex(spark, table,
+        queries, col("vec_id"), col("embedding"), k = 10)
+      res.as[(Long, Long, Long, Long)].collect().toSet
+    }
+    val tApp = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Ann.buildIvfIndex(base, col("vec_id"), col("embedding"), tApp, iters = 0)
+    CacheTracker.releaseAll()
+    val stats = Ann.appendToIvfIndex(add, col("vec_id"), col("embedding"), tApp, "a1")
+    assert(stats.committed && stats.rows == 50 && stats.meanDist >= 0.0 &&
+      stats.maxDist >= 0L)
+    // exactly-once resume: same batchId is a no-op, not a duplicate
+    val again = Ann.appendToIvfIndex(add, col("vec_id"), col("embedding"), tApp, "a1")
+    assert(!again.committed)
+    val tFull = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    Ann.buildIvfIndex(emb, col("vec_id"), col("embedding"), tFull, iters = 0)
+    CacheTracker.releaseAll()
+    val a = results(tApp); val b = results(tFull)
+    assert(a == b && a.nonEmpty,
+      "append under a frozen codebook must equal the union build")
+    // manifest pruning still spans BOTH batches of the appended table
+    val one = emb.filter(col("vec_id") === 7)
+    val (r1, sel1, tot1) = Ann.queryIvfIndex(spark, tApp,
+      one, col("vec_id"), col("embedding"), k = 5, probes = 2)
+    assert(r1.count() == 5)
+    assert(sel1 < tot1, s"no files skipped across appended batches ($sel1 of $tot1)")
+    Seq(tApp, tFull).foreach(t =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t)))
+  }
+
   test("ivf kmeans ANN: recall vs brute at probes=3 of 8 buckets") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 10)
@@ -819,6 +961,52 @@ class ImageTableSpec extends AnyFunSuite {
     // caption determinism
     val c1 = ImageTable.rowFor(42).caption
     assert(df.filter(col("image_id") === "img000000042").select("caption").head().getString(0) == c1)
+  }
+
+  test("ReusableDecoder: mixed color models share dims without cross-typing (ADVICE r04)") {
+    // an RGB JPEG then a GRAYSCALE JPEG of the SAME dimensions: the pool key
+    // must include the advertised image type — a (format,w,h)-only key hands
+    // the grayscale read the pooled RGB destination and the reader throws on
+    // the band mismatch (or silently converts, breaking bit-parity)
+    import java.awt.image.BufferedImage
+    def img(tp: Int): BufferedImage = {
+      val im = new BufferedImage(32, 24, tp)
+      var y = 0
+      while (y < 24) {
+        var x = 0
+        while (x < 32) {
+          val v = (x * 7 + y * 13) & 0xFF
+          im.setRGB(x, y, (v << 16) | ((255 - v) << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      im
+    }
+    val variants = Seq(
+      ImageTable.encode(img(BufferedImage.TYPE_INT_RGB), "jpeg"),
+      ImageTable.encode(img(BufferedImage.TYPE_BYTE_GRAY), "jpeg"),
+      ImageTable.encode(img(BufferedImage.TYPE_INT_RGB), "png"),
+      ImageTable.encode(img(BufferedImage.TYPE_BYTE_GRAY), "png"))
+    val d = new ImageTable.ReusableDecoder
+    // two alternating rounds: round 2 hits the pooled destinations
+    (0 until 2).foreach { round =>
+      variants.foreach { bytes =>
+        val pooled = d.decode(bytes) // valid only until the next decode —
+        val ref = ImageTable.decode(bytes) // consume against ref NOW
+        assert(pooled.getWidth == ref.getWidth && pooled.getHeight == ref.getHeight)
+        var y = 0
+        while (y < ref.getHeight) {
+          var x = 0
+          while (x < ref.getWidth) {
+            assert(pooled.getRGB(x, y) == ref.getRGB(x, y),
+              s"round $round pixel ($x,$y) differs from the unpooled path")
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
   }
 
   test("resize + frame-sample stubs keep plumbing real") {

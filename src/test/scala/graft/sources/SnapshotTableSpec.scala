@@ -155,6 +155,65 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(selected < total, s"compacted manifest skipped no files ($selected of $total)")
   }
 
+  test("optimistic concurrency: racing committers all land, none clobbered") {
+    // three writer entry points exist (commitBatch / streamingCommit /
+    // compact) — publish must CAS on the version file, not blindly
+    // read-modify-write LATEST. Six concurrent committers: every batch must
+    // be present afterwards (a lost update would drop one silently).
+    val dir = freshDir()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 6).map { b =>
+      new Thread(() =>
+        try SnapshotTable.commitBatch(batchDf(b, 500, 2), dir, s"t$b", "bucket", Seq("id"))
+        catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent commit failed: ${errs.peek()}")
+    val snap = SnapshotTable.currentSnapshot(dir)
+    assert(snap.version == 6, s"expected 6 snapshot versions, got ${snap.version}")
+    assert(snap.batchIds == (0 until 6).map(b => s"t$b").toSet)
+    assert(SnapshotTable.read(spark, dir).count() == 3000)
+  }
+
+  test("optimistic concurrency: the loser THROWS rather than clobbers (stale lock)") {
+    val dir = freshDir()
+    assert(SnapshotTable.commitBatch(batchDf(0, 500, 2), dir, "b0", "bucket", Seq("id")))
+    // simulate a racing winner that already claimed v2: its CREATE_NEW lock
+    // exists, so this writer's publish must surface a retryable conflict
+    // after its bounded retries — never overwrite
+    Files.createFile(java.nio.file.Paths.get(dir, "snapshots", "v2.lock"))
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      SnapshotTable.commitBatch(batchDf(1, 500, 2), dir, "b1", "bucket", Seq("id"))
+    }
+    assert(SnapshotTable.currentSnapshot(dir).batchIds == Set("b0"),
+      "loser must leave the winner's snapshot untouched")
+    // conflict is RETRYABLE: once the contended version clears, the same
+    // commit goes through
+    Files.delete(java.nio.file.Paths.get(dir, "snapshots", "v2.lock"))
+    assert(SnapshotTable.commitBatch(batchDf(1, 500, 2), dir, "b1", "bucket", Seq("id")))
+    assert(SnapshotTable.read(spark, dir).count() == 1000)
+  }
+
+  test("vacuum retention: retained versions keep time travel; older throw clearly") {
+    val dir = freshDir()
+    assert(SnapshotTable.commitBatch(batchDf(0, 1000, 2), dir, "b0", "bucket", Seq("id"))) // v1
+    assert(SnapshotTable.commitBatch(batchDf(1, 1000, 2), dir, "b1", "bucket", Seq("id"))) // v2
+    assert(SnapshotTable.compact(spark, dir, "bucket", Seq("id"), numPartitions = 2)) // v3: c3
+    assert(SnapshotTable.commitBatch(batchDf(2, 500, 2), dir, "b2", "bucket", Seq("id"))) // v4
+    // retain the last two manifests (v3, v4): their batches {c3, b2} stay,
+    // the compacted-away originals age out
+    val gone = SnapshotTable.vacuum(dir, retainVersions = 2)
+    assert(gone.toSet == Set("bb0", "bb1"))
+    assert(SnapshotTable.readAt(spark, dir, 3).count() == 2000)
+    assert(SnapshotTable.readAt(spark, dir, 4).count() == 2500)
+    // outside the window: a CLEAR retention error up front, naming the
+    // vacuumed batch dirs — not a parquet FileNotFound mid-scan
+    val e = intercept[IllegalStateException] { SnapshotTable.readAt(spark, dir, 2) }
+    assert(e.getMessage.contains("vacuumed") && e.getMessage.contains("bb0"))
+    // idempotent: nothing further to reclaim at the same retention
+    assert(SnapshotTable.vacuum(dir, retainVersions = 2).isEmpty)
+  }
+
   test("exact resume: interrupted run re-converges to byte-identical table") {
     def runPipeline(dir: String, upTo: Int): Unit =
       (0 until upTo).foreach { b =>
