@@ -885,9 +885,24 @@ object EntryQueries {
       table
     })
 
-  /** Untimed-fixture hook for Bench: pre-build the q42 IVF index. */
+  /** q45's base-corpus index (vec_id % 10 ≠ 7): the append target. Memoized
+    * like [[ivfIndexTable]]; the APPEND stays in the timed query — it is
+    * the operator under test (a re-run's append no-ops via manifest
+    * batch-id dedup: exactly-once resume, identical result). */
+  private val baseIvfCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def baseIvfIndexTable(s: SparkSession, dir: String): String =
+    baseIvfCache.computeIfAbsent(dir, _ => {
+      val table = tempSnapshotDir("graft_ivf_base")
+      Ann.buildIvfIndex(t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10L)) =!= 7L),
+        col("vec_id"), col("embedding"), table)
+      table
+    })
+
+  /** Untimed-fixture hook for Bench: pre-build the q42/q45 IVF indexes. */
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
-    ivfIndexTable(s, dir); ()
+    ivfIndexTable(s, dir)
+    baseIvfIndexTable(s, dir)
+    ()
   }
 
   def q42AnnIndex(s: SparkSession, dir: String): DataFrame = {
@@ -898,6 +913,26 @@ object EntryQueries {
     res
   }
   def q42Sql: String = q31Sql
+
+  /** Frozen-codebook IVF append ([[Ann.appendToIvfIndex]]) through the
+    * gate: the codebook trains on the BASE corpus only (vec_id % 10 ≠ 7);
+    * the held-out tenth is appended as a second snapshot batch against that
+    * frozen codebook; queries then search the union across both batches.
+    * Oracle = train-on-base + assign-ALL replay ([[OracleSqlGen.q45Sql]])
+    * — pinning that append never retrains and that query results span the
+    * appended data. */
+  def q45AnnAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val table = baseIvfIndexTable(s, dir)
+    Ann.appendToIvfIndex(emb.filter(pmod(col("vec_id"), lit(10L)) === 7L),
+      col("vec_id"), col("embedding"), table, "a1")
+    val (res, _, _) = Ann.queryIvfIndex(s, table,
+      emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
+    res
+  }
+  def q45Sql: String =
+    OracleSqlGen.q45Sql(8, 2, 64, nq = 5, probes = 3, topK = 10,
+      baseWhere = "WHERE vec_id % 10 <> 7")
 
   /** Radius self-join ([[SpatialOps.radiusPairs]]): all image-point pairs
     * within 0.01° planar — the co-location primitive over the hotspot-
@@ -969,7 +1004,8 @@ object EntryQueries {
     "q41_top_tokens" -> (q41TopTokens _, q41Sql),
     "q42_ann_index" -> (q42AnnIndex _, q42Sql),
     "q43_radius_pairs" -> (q43RadiusPairs _, q43Sql),
-    "q44_compacted_range" -> (q44CompactedRange _, q44Sql))
+    "q44_compacted_range" -> (q44CompactedRange _, q44Sql),
+    "q45_ann_append" -> (q45AnnAppend _, q45Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

@@ -283,17 +283,23 @@ object OracleSqlGen {
   private def qdist(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT)"
 
+  /** One nearest-cluster assignment round: rows of `src` (vec_id, q)
+    * against centroid table `cents`, ties to the lowest cluster. */
+  private def kmAssignCte(name: String, cents: String, src: String = "qv"): String =
+    s"""$name AS (SELECT vec_id, q, cluster, dist FROM (
+       |  SELECT vec_id, q, cluster, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+       |  FROM (SELECT v.vec_id, v.q, c.cluster, ${qdist("v.q", "c.q")} AS dist
+       |        FROM $src v CROSS JOIN $cents c)) WHERE rk = 1)""".stripMargin
+
   /** WITH-fragment (no leading WITH) replaying the k-means training loop:
     * `qv` (quantized corpus), seeds `c0`, `iters` assign/update rounds
     * (`a1`,`c1`,…), and `afin` = the final assignment (vec_id, q, cluster,
-    * dist) against the trained centroids `c<iters>`. */
-  def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
-    def assignCte(name: String, cents: String): String =
-      s"""$name AS (SELECT vec_id, q, cluster, dist FROM (
-         |  SELECT vec_id, q, cluster, dist,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
-         |  FROM (SELECT v.vec_id, v.q, c.cluster, ${qdist("v.q", "c.q")} AS dist
-         |        FROM qv v CROSS JOIN $cents c)) WHERE rk = 1)""".stripMargin
+    * dist) against the trained centroids `c<iters>`. `corpusWhere`
+    * restricts the TRAINING corpus (q45's frozen-codebook append trains on
+    * the base rows only); empty trains on the whole table. */
+  def kmeansCtes(k: Int, iters: Int, dims: Int, corpusWhere: String = ""): String = {
+    def assignCte(name: String, cents: String): String = kmAssignCte(name, cents)
     def updateCte(prev: String, asg: String, name: String): String =
       s"""$name AS (SELECT p.cluster, COALESCE(u.qq, p.q) AS q
          |  FROM $prev p LEFT JOIN (
@@ -305,10 +311,11 @@ object OracleSqlGen {
          |    GROUP BY cluster) u ON u.cluster = p.cluster)""".stripMargin
     val rounds = (1 to iters).map(t => assignCte(s"a$t", s"c${t - 1}") + ",\n" +
       updateCte(s"c${t - 1}", s"a$t", s"c$t")).mkString(",\n")
+    val whereSfx = if (corpusWhere.isEmpty) "" else s" $corpusWhere"
     s"""qv AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |mx AS (SELECT vec_id, ${mix64Cols("CAST(vec_id AS UBIGINT)", "m")} FROM embeddings),
+       |  FROM embeddings$whereSfx),
+       |mx AS (SELECT vec_id, ${mix64Cols("CAST(vec_id AS UBIGINT)", "m")} FROM embeddings$whereSfx),
        |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY x.m) - 1 AS cluster, v.q
        |       FROM (SELECT vec_id, m FROM mx ORDER BY m LIMIT $k) x
        |       JOIN qv v ON v.vec_id = x.vec_id),
@@ -338,6 +345,36 @@ object OracleSqlGen {
        |    CAST(list_sum(list_transform(list_zip(a.q, v.q), x -> x[1] * x[2])) AS BIGINT) AS score
        |  FROM afin a JOIN qp p ON a.cluster = p.cluster
        |  JOIN qv v ON v.vec_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, id, score, rank FROM (
+       |  SELECT q_id, id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, id) AS rank
+       |  FROM scored) WHERE rank <= $topK""".stripMargin
+
+  /** q45: frozen-codebook IVF append replay (Ann.appendToIvfIndex): the
+    * codebook trains on the BASE corpus only (`baseWhere`), then EVERY row —
+    * base and appended alike — is assigned against those frozen centroids
+    * (`c<iters>`), exactly what build-then-append produces on the snapshot
+    * table; queries probe and score over the union. Identical to [[q31Sql]]
+    * except the training corpus is restricted and the scored corpus is the
+    * separately-quantized full table (`qvu`/`au`). */
+  def q45Sql(k: Int, iters: Int, dims: Int, nq: Int, probes: Int, topK: Int,
+      baseWhere: String): String =
+    s"""WITH ${kmeansCtes(k, iters, dims, baseWhere)},
+       |qvu AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |${kmAssignCte("au", s"c$iters", "qvu")},
+       |qp AS (SELECT q_id, cluster FROM (
+       |  SELECT q_id, cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, cluster) AS rk
+       |  FROM (SELECT v.vec_id AS q_id, c.cluster, ${qdist("v.q", "c.q")} AS dist
+       |        FROM (SELECT vec_id, q FROM qvu WHERE vec_id < $nq) v
+       |        CROSS JOIN c$iters c)) WHERE rk <= $probes),
+       |scored AS (SELECT p.q_id, a.vec_id AS id,
+       |    CAST(list_sum(list_transform(list_zip(a.q, v.q), x -> x[1] * x[2])) AS BIGINT) AS score
+       |  FROM au a JOIN qp p ON a.cluster = p.cluster
+       |  JOIN qvu v ON v.vec_id = p.q_id
        |  WHERE a.vec_id <> p.q_id)
        |SELECT q_id, id, score, rank FROM (
        |  SELECT q_id, id, score,
