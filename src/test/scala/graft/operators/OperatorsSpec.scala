@@ -607,6 +607,56 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(kept.contains(25L) && kept.contains(40L))
   }
 
+  test("connectedComponentsStar + auto == union-find; long paths converge; label throws") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      edges.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y)); if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+    }
+    // seeded sweep through the star-contraction engine (same generator as
+    // the label-propagation sweep)
+    (1 to 10).foreach { seed =>
+      val nNodes = 40 + (Kernels.mix64(seed) & 63L).toInt
+      val nEdges = 20 + (Kernels.mix64(seed * 31) & 127L).toInt
+      val edges = (0 until nEdges).map { k =>
+        val h = Kernels.mix64(seed * 100003L + k)
+        val x = java.lang.Long.remainderUnsigned(h >>> 1, nNodes)
+        val y = java.lang.Long.remainderUnsigned(Kernels.mix64(h) >>> 1, nNodes)
+        (x, if (x == y) (y + 1) % nNodes else y)
+      }
+      val got = Dedup.connectedComponents(edges.toDF("ia", "ib"), col("ia"), col("ib"),
+        algorithm = "star").as[(Long, Long)].collect().toMap
+      assert(got == unionFind(edges), s"seed $seed star mismatch")
+      CacheTracker.releaseAll()
+    }
+    // a 200-node path (diameter 199): label propagation inside its bound
+    // THROWS rather than returning a partial closure; "auto" falls back to
+    // star contraction (O(log²) rounds) and returns the exact closure
+    val path = (0L until 199L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(path.toDF("ia", "ib"), col("ia"), col("ib"), maxIters = 10)
+    }
+    CacheTracker.releaseAll()
+    val auto = Dedup.connectedComponents(path.toDF("ia", "ib"), col("ia"), col("ib"),
+      algorithm = "auto").as[(Long, Long)].collect().toMap
+    assert(auto == (0L to 199L).map(_ -> 0L).toMap)
+    CacheTracker.releaseAll()
+    // permuted-id path: star roots must be component minima, not id-0 luck
+    val perm = (0L until 150L).sortBy(i => Kernels.mix64(i) ^ Long.MinValue)
+    val permEdges = perm.sliding(2).map(w => (w(0), w(1))).toSeq
+    val gotP = Dedup.connectedComponents(permEdges.toDF("ia", "ib"), col("ia"), col("ib"),
+      algorithm = "star").as[(Long, Long)].collect().toMap
+    assert(gotP == unionFind(permEdges) && gotP.values.toSet == Set(0L))
+    CacheTracker.releaseAll()
+    // empty input
+    assert(Dedup.connectedComponents(path.toDF("ia", "ib").limit(0), col("ia"), col("ib"),
+      algorithm = "star").count() == 0)
+    CacheTracker.releaseAll()
+  }
+
   test("mixing: stratifiedSample == per-row integer model; partition-invariant") {
     val rows = (0L until 400L).map(i => (i, s"k${i % 4}")).toDF("id", "key")
     val weights = Map("k0" -> 3.0, "k1" -> 1.6, "k2" -> 0.3) // k3 dropped
