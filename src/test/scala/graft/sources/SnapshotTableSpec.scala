@@ -194,6 +194,28 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir).count() == 1000)
   }
 
+  test("optimistic concurrency: compact PROPAGATES a conflict (no auto-retry), table unchanged") {
+    // a compact that loses a publish race must not retry blindly — the
+    // batch set it folded may have changed under it; the conflict
+    // surfaces and the table keeps serving the winner's snapshot
+    val dir = freshDir()
+    assert(SnapshotTable.commitBatch(batchDf(0, 800, 2), dir, "b0", "bucket", Seq("id")))
+    assert(SnapshotTable.commitBatch(batchDf(1, 800, 2), dir, "b1", "bucket", Seq("id")))
+    val fp = SnapshotTable.tableFingerprint(dir)
+    Files.createFile(java.nio.file.Paths.get(dir, "snapshots", "v3.lock"))
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      SnapshotTable.compact(spark, dir, "bucket", Seq("id"), numPartitions = 2)
+    }
+    assert(SnapshotTable.currentSnapshot(dir).version == 2)
+    assert(SnapshotTable.currentSnapshot(dir).batchIds == Set("b0", "b1"))
+    assert(SnapshotTable.tableFingerprint(dir) == fp)
+    assert(SnapshotTable.read(spark, dir).count() == 1600)
+    // once the contention clears, the same compact succeeds
+    Files.delete(java.nio.file.Paths.get(dir, "snapshots", "v3.lock"))
+    assert(SnapshotTable.compact(spark, dir, "bucket", Seq("id"), numPartitions = 2))
+    assert(SnapshotTable.tableFingerprint(dir) == fp)
+  }
+
   test("vacuum retention: retained versions keep time travel; older throw clearly") {
     val dir = freshDir()
     assert(SnapshotTable.commitBatch(batchDf(0, 1000, 2), dir, "b0", "bucket", Seq("id"))) // v1
