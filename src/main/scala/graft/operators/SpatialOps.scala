@@ -319,20 +319,36 @@ object SpatialOps {
     * satisfies |Δφ| ≤ D/R, so ky = ⌊ΔlatDeg/cellH⌋+1 is a constant; and
     * haversine ≥ 2R·asin(√(cosφ_q·cosφ_p)·|sin(Δλ/2)|) with
     * √(cosφ_q·cosφ_p) ≥ cos φ* for φ* = min(90°, |φ|+ΔlatDeg) gives
-    * |sin(Δλ/2)| ≤ sin(D/2R)/cos φ* — per-row kx, collapsing to the full x
-    * ring when cos φ* ≤ sin(D/2R) (polar caps). BOTH members of a true
+    * |sin(Δλ/2)| ≤ sin(D/2R)/cos φ* — per-row kx. BOTH members of a true
     * pair produce covering rects (each side's bound uses its own φ*, which
     * dominates the partner's latitude), so the disk-explode-one-side ×
     * id_a < id_b dedup of [[radiusPairs]] stays exact.
     *
+    * POLAR CAPS — the scale hazard and its fix: kx grows as 1/cos φ* and
+    * collapses to the full x ring (2^res/2 cells!) near the poles, so at
+    * fine `res` a single polar row would explode thousands of candidate
+    * cells. Rows whose kx exceeds `polarKxCap` therefore skip the rect
+    * entirely and join through ONE per-hemisphere band key: every partner
+    * that could be within D of ANY capped row (|lat| above the band
+    * threshold − ΔlatDeg) also emits the band key, and the exact residual
+    * filters as usual. Fan-out is then bounded by (2·polarKxCap+1)·(2ky+1)
+    * per row everywhere on the globe; the trade is that the two cap bands
+    * are single join keys — fine for the tiny polar caps of ordinary data,
+    * deliberately skew-visible for polar-heavy corpora (use a coarser
+    * `res`, which this operator REQUIREs when the band would swallow
+    * non-polar latitudes). Each true pair is still met exactly twice in
+    * self mode / once in cross mode: a capped row meets its partners via
+    * the band, an uncapped row via its rect, and the two mechanisms never
+    * double-count one ordered pair (a row's query keys are rect XOR band).
+    *
     * Deliberately NOT an oracle query: like `knnJoinHaversine`, cross-engine
     * libm differences make float great-circle distances at the radius
     * boundary unreproducible in DuckDB — pinned by ScalaTest == brute
-    * haversine (incl. high-latitude and antimeridian points) instead. */
+    * haversine (incl. polar-cap and antimeridian points) instead. */
   def radiusPairsHaversine(df: DataFrame, id: Column, lon: Column, lat: Column,
-      radiusMeters: Double, res: Int): DataFrame =
+      radiusMeters: Double, res: Int, polarKxCap: Int = 16): DataFrame =
     radiusHaversineCore(df, id, lon, lat, df, id, lon, lat, radiusMeters, res,
-      selfPairs = true)
+      polarKxCap, selfPairs = true)
 
   /** Two-frame meters-radius join — [[radiusPairsHaversine]] semantics over
     * (left, right); the rect disk is exploded on the LEFT side only, so make
@@ -340,15 +356,16 @@ object SpatialOps {
   def radiusJoinHaversine(
       left: DataFrame, lId: Column, lLon: Column, lLat: Column,
       right: DataFrame, rId: Column, rLon: Column, rLat: Column,
-      radiusMeters: Double, res: Int): DataFrame =
+      radiusMeters: Double, res: Int, polarKxCap: Int = 16): DataFrame =
     radiusHaversineCore(left, lId, lLon, lLat, right, rId, rLon, rLat,
-      radiusMeters, res, selfPairs = false)
+      radiusMeters, res, polarKxCap, selfPairs = false)
 
   private def radiusHaversineCore(
       left: DataFrame, lId: Column, lLon: Column, lLat: Column,
       right: DataFrame, rId: Column, rLon: Column, rLat: Column,
-      radiusMeters: Double, res: Int, selfPairs: Boolean): DataFrame = {
+      radiusMeters: Double, res: Int, polarKxCap: Int, selfPairs: Boolean): DataFrame = {
     require(radiusMeters > 0, s"radiusMeters must be positive: $radiusMeters")
+    require(polarKxCap >= 1, s"polarKxCap must be >= 1: $polarKxCap")
     val n = 1L << res
     val cellH = 180.0 / n.toDouble
     val cellW = 360.0 / n.toDouble
@@ -360,6 +377,28 @@ object SpatialOps {
     val sinHalf =
       Math.min(1.0, Math.sin(Math.min(Math.PI, radiusMeters / R) / 2.0) * (1 + 1e-12))
     val kxFull = (n / 2).toInt // 2·kxFull+1 ≥ n → rect emits the full x ring
+    val kCap = math.min(polarKxCap, kxFull)
+    val banding = kCap < kxFull
+    // the latitude where kx first exceeds the cap, from the same bound the
+    // per-row kx uses: kx > kCap ⟺ sinHalf/cos φ* > sin(kCap·cellW/2)
+    // ⟺ |lat| > acos(sinHalf/sinCap) − ΔlatDeg. Partners of capped rows sit
+    // at most ΔlatDeg below that (minus a float-safety margin).
+    val phiBandPartner =
+      if (!banding) Double.MaxValue
+      else {
+        val sinCap = Math.sin(Math.min(Math.PI, kCap * Math.toRadians(cellW)) / 2.0)
+        val phiStarBand = Math.toDegrees(Math.acos(Math.min(1.0, sinHalf / sinCap)))
+        val phiBandQuery = phiStarBand - dLatDeg
+        require(phiBandQuery > dLatDeg + 1e-6,
+          s"radius-join polar band would reach down to |lat| ≈ $phiBandQuery° " +
+            s"(radius spans $dLatDeg° of latitude): coarsen res ($res) or raise " +
+            s"polarKxCap ($polarKxCap) — at this res/radius the cell prefilter " +
+            "cannot bound the longitude fan-out outside the polar caps")
+        phiBandQuery - dLatDeg - 1e-6
+      }
+    val bandNorth = -1L; val bandSouth = -2L // never collide with cell ids (≥ 0)
+    def bandOf(latC: Column): Column =
+      when(latC >= 0, lit(bandNorth)).otherwise(lit(bandSouth))
     def kxCol(latC: Column): Column = {
       val phiStar = least(lit(90.0), abs(latC) + lit(dLatDeg))
       val cosPhi = cos(radians(phiStar))
@@ -367,11 +406,21 @@ object SpatialOps {
         .otherwise((floor(degrees(lit(2.0) * asin(lit(sinHalf) / cosPhi)) / lit(cellW))
           .cast("int") + 1))
     }
+    val qKx = kxCol(lLat)
+    val rect = st.cellRect(st.cellId(lLon, lLat, res), least(qKx, lit(kCap)), lit(ky))
+    val qKeys =
+      if (banding) when(qKx > lit(kCap), array(bandOf(lLat))).otherwise(rect)
+      else rect
+    val pCell = st.cellId(rLon, rLat, res)
+    val pKeys =
+      if (banding)
+        when(abs(rLat) > lit(phiBandPartner), array(pCell, bandOf(rLat)))
+          .otherwise(array(pCell))
+      else array(pCell)
     val a = left.select(lId.as("id_a"), lLon.as("lon_a"), lLat.as("lat_a"),
-      explode(st.cellRect(st.cellId(lLon, lLat, res),
-        least(kxCol(lLat), lit(kxFull)), lit(ky))).as("cell"))
+      explode(qKeys).as("cell"))
     val b = right.select(rId.as("id_b"), rLon.as("lon_b"), rLat.as("lat_b"),
-      st.cellId(rLon, rLat, res).as("cell"))
+      explode(pKeys).as("cell"))
     val dist = st.haversine(col("lon_a"), col("lat_a"), col("lon_b"), col("lat_b"))
     val keep = if (selfPairs) col("id_a") < col("id_b") else lit(true)
     a.join(b, "cell")

@@ -160,9 +160,13 @@ object SnapshotTable {
         return true
       } catch {
         case e: ConcurrentCommitException =>
+          // a winner that claimed the lock may not have finished its
+          // tmp→move yet (currentVersion can't advance past the lock until
+          // the manifest lands) — back off and re-read; ~2s of total grace
+          // covers GC pauses on a loaded host before surfacing the conflict
           attempts += 1
-          if (attempts >= 10) throw e
-          Thread.sleep(5L * attempts) // let the racing winner finish its move
+          if (attempts >= 24) throw e
+          Thread.sleep(7L * attempts)
       }
     }
     false // unreachable

@@ -184,23 +184,34 @@ class SpatialOpsSpec extends AnyFunSuite {
       (100007L, -179.9, 0.01)).toDF("id", "lon", "lat")
     val pts = globalPoints(1200, 3L).unionByName(extremes).cache()
     val radius = 300000.0 // 300 km
-    val got = SpatialOps.radiusPairsHaversine(pts, col("id"), col("lon"), col("lat"),
-        radius, res = 6)
-      .select("id_a", "id_b").as[(Long, Long)].collect()
-    assert(got.length == got.distinct.length, "pair emitted twice")
     val local = pts.as[(Long, Double, Double)].collect()
     val brute = (for {
       (ia, loa, laa) <- local; (ib, lob, lab) <- local if ia < ib
       if graft.core.GeomOps.haversine(loa, laa, lob, lab) <= radius
     } yield (ia, ib)).toSet
-    assert(got.toSet == brute, {
-      val miss = brute -- got.toSet; val extra = got.toSet -- brute
-      s"missing=$miss extra=$extra"
-    })
     assert(brute.nonEmpty)
-    // the polar points MUST participate (full-wrap x path exercised)
+    // the polar points MUST participate (the polar-band path is exercised)
     assert(brute.exists { case (a, b) => a > 100000L || b > 100000L },
       "test corpus produced no polar pairs — weaken nothing, fix the data")
+    // three cap regimes: default (band above ~85°), aggressive cap 2 (band
+    // reaches far lower — much more band traffic), and cap ≥ n/2 (banding
+    // off, pure rect with full-wrap rows) — all must equal brute exactly
+    for (cap <- Seq(16, 2, 1000)) {
+      val got = SpatialOps.radiusPairsHaversine(pts, col("id"), col("lon"), col("lat"),
+          radius, res = 6, polarKxCap = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      assert(got.length == got.distinct.length, s"cap=$cap: pair emitted twice")
+      assert(got.toSet == brute, {
+        val miss = brute -- got.toSet; val extra = got.toSet -- brute
+        s"cap=$cap missing=$miss extra=$extra"
+      })
+    }
+    // a radius spanning whole cells of longitude at every latitude cannot
+    // be bounded outside the caps — must REQUIRE a coarser res, loudly
+    intercept[IllegalArgumentException] {
+      SpatialOps.radiusPairsHaversine(pts, col("id"), col("lon"), col("lat"),
+        2000000.0, res = 10).count()
+    }
   }
 
   test("radiusJoinHaversine (two frames) == brute; exactly once per cross pair") {
