@@ -129,6 +129,13 @@ object SnapshotTable {
     * and sorted within partitions by (`bucketCol`, `sortCols`) — byte-stable
     * at any parallelism. Returns true if written, false if skipped.
     *
+    * Concurrency: DISTINCT batchIds may commit concurrently — each writes
+    * its own data dir and [[publish]] CASes the snapshot version (losers
+    * retry). Two writers racing the SAME batchId remain the caller's
+    * exclusion to provide (they would race Spark's overwrite inside one
+    * dir): sequential same-id replay is the supported resume shape, which
+    * is what Structured Streaming's epoch contract delivers.
+    *
     * Layout: NOT repartitionByRange — its boundaries are sampled from the
     * input layout and vary with parallelism, breaking file byte-stability.
     * Instead:
