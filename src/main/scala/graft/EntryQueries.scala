@@ -949,6 +949,29 @@ object EntryQueries {
   }
   def q43Sql: String = OracleSqlGen.q43Sql(10L)
 
+  /** Spatial connectivity clustering ([[SpatialOps.clusterPoints]]) over
+    * one hotspot city's points (id % 10 < 3 picks the hotspot rows, id % 3
+    * = 0 the first city): cluster = transitive closure of "within 0.002°",
+    * singletons kept. Exercises radiusPairs → connectedComponents(auto) —
+    * the near-percolation chains here can exceed the label-pass bound, so
+    * the star-contraction fallback runs inside the GATE. Oracle = brute
+    * quantized pair scan + recursive-CTE closure + singleton union. The
+    * subset keeps the DuckDB closure at q39 scale (the full 20k-point
+    * closure measured 226 s — too slow for a per-round gate). */
+  def q46SpatialClusters(s: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(s)
+    val n = Math.min(imageCount(dir), 20000L)
+    val pts = ImageTable.metaDf(s, 0, n)
+      .filter(pmod(col("id"), lit(10L)) < 3 && pmod(col("id"), lit(3L)) === 0)
+      .withColumn("lon", SpatialOps.phashLon(col("phash")))
+      .withColumn("lat", SpatialOps.phashLat(col("phash")))
+      .select("id", "lon", "lat")
+    SpatialOps.clusterPoints(pts, col("id"), col("lon"), col("lat"),
+        radiusDeg = 0.002, res = 14)
+      .groupBy("cluster").agg(count(lit(1)).as("n_members"))
+  }
+  def q46Sql: String = OracleSqlGen.q46Sql(2L)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1005,7 +1028,8 @@ object EntryQueries {
     "q42_ann_index" -> (q42AnnIndex _, q42Sql),
     "q43_radius_pairs" -> (q43RadiusPairs _, q43Sql),
     "q44_compacted_range" -> (q44CompactedRange _, q44Sql),
-    "q45_ann_append" -> (q45AnnAppend _, q45Sql))
+    "q45_ann_append" -> (q45AnnAppend _, q45Sql),
+    "q46_spatial_clusters" -> (q46SpatialClusters _, q46Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

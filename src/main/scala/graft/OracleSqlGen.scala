@@ -513,6 +513,33 @@ object OracleSqlGen {
        |  ON a.id < b.id
        |  AND (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy) <= ${qr * qr}""".stripMargin
 
+  /** q46: spatial connectivity clustering replay — the q43 brute quantized
+    * pair scan restricted to one hotspot city (id % 10 < 3 AND id % 3 = 0),
+    * the q39 recursive-CTE closure over those pairs, and a singleton union
+    * (isolated points cluster as themselves). The subset bound keeps the
+    * closure at gate-friendly size. */
+  def q46Sql(qr: Long): String =
+    s"""WITH RECURSIVE ${ptsCtes(s"LEAST($nImagesExpr, 20000)")},
+       |sub AS (SELECT id,
+       |  CAST(ROUND(lon * 1000) AS BIGINT) AS qx,
+       |  CAST(ROUND(lat * 1000) AS BIGINT) AS qy
+       |  FROM pts WHERE id % 10 < 3 AND id % 3 = 0),
+       |prs AS (SELECT a.id AS ia, b.id AS ib
+       |  FROM sub a JOIN sub b
+       |  ON a.id < b.id
+       |  AND (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy) <= ${qr * qr}),
+       |bidir AS (SELECT ia AS src, ib AS dst FROM prs
+       |  UNION ALL SELECT ib, ia FROM prs),
+       |nodes AS (SELECT DISTINCT src AS id FROM bidir),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON b.src = r.dst),
+       |comp AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src),
+       |allc AS (SELECT s.id, COALESCE(c.comp, s.id) AS cluster
+       |  FROM sub s LEFT JOIN comp c ON c.id = s.id)
+       |SELECT cluster, COUNT(*) AS n_members FROM allc GROUP BY cluster""".stripMargin
+
   /** q40: contamination report replay — per eval doc (doc_id < nEval),
     * COUNT of corpus docs at Jaccard ≥ minJ (same shingle kernel + integer
     * ratio prefilter as q34; LEFT JOIN keeps zero-hit eval rows). */

@@ -464,6 +464,31 @@ object SpatialOps {
       .select(col("id_a"), col("id_b"), d2.as("qdist2"))
   }
 
+  /** Connectivity clustering over points: every pair within planar
+    * `radiusDeg` is in the same cluster (the transitive closure —
+    * DBSCAN-style density connectivity at minPts = 2, with isolated points
+    * kept as their own singleton cluster). Returns the input columns plus
+    * `cluster` = the component's minimum id — the hotspot-analysis
+    * primitive ("group co-located images") composed from the two
+    * scale-audited pieces: [[radiusPairs]] (cell-disk prefilter + exact
+    * integer residual; no all-pairs anywhere) and
+    * `Dedup.connectedComponents` (default algorithm = "auto": min-label
+    * passes for the clique-ish dense hotspots, star-contraction fallback
+    * for stringy near-percolation chains whose diameter exceeds the label
+    * bound). Deterministic: the pair set is integer-quantized and the
+    * component minimum is order-free. */
+  def clusterPoints(df: DataFrame, id: Column, lon: Column, lat: Column,
+      radiusDeg: Double, res: Int, scale: Int = 1000,
+      algorithm: String = "auto"): DataFrame = {
+    val pairs = radiusPairs(df, id, lon, lat, radiusDeg, res, scale)
+    val comps = graft.operators.Dedup.connectedComponents(
+      pairs, col("id_a"), col("id_b"), algorithm = algorithm)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(comps, id === col("__cc_id"), "left")
+      .withColumn("cluster", coalesce(col("comp"), id.cast("long")))
+      .drop("__cc_id", "comp")
+  }
+
   /** Morton-block id for a cell column: the high ⌈log₂ numPartitions⌉ bits
     * of the cell's morton code — a PURE FUNCTION of the cell value, so
     * placement derived from it is byte-stable across input parallelism AND

@@ -232,6 +232,31 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got.toSet == brute && brute.nonEmpty)
   }
 
+  test("clusterPoints == union-find over brute pairs; singletons kept; partition-invariant") {
+    val pts = seededPoints(2500)
+    def run(parts: Int) = SpatialOps.clusterPoints(pts.repartition(parts),
+        col("id"), col("lon"), col("lat"), radiusDeg = 1.0, res = 7)
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    val got = run(3)
+    graft.operators.CacheTracker.releaseAll()
+    assert(run(11) == got, "clusters must be partition-invariant")
+    graft.operators.CacheTracker.releaseAll()
+    // model: union-find over the brute quantized pair set; singletons self
+    val local = pts.as[(Long, Double, Double)].collect()
+      .map { case (i, lo, la) => (i, math.round(lo * 1000), math.round(la * 1000)) }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    for { (ia, xa, ya) <- local; (ib, xb, yb) <- local if ia < ib
+          if (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 1000000L } {
+      val (ra, rb) = (find(ia), find(ib)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = local.map { case (i, _, _) => i -> find(i) }.toMap
+    assert(got == expected)
+    assert(got.exists { case (i, c) => i == c && !got.exists(p => p._2 == c && p._1 != i) },
+      "expected at least one singleton cluster")
+    assert(got.exists { case (i, c) => i != c }, "expected at least one multi-point cluster")
+  }
+
   test("tileAssign output is byte-identical across parallelism (2 vs 8)") {
     def run(parts: Int): Array[Byte] = {
       val s2 = spark.newSession()
