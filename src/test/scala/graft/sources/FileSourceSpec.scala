@@ -112,6 +112,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming geofence: stream-static PIP join == batch (spatial core on a stream)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.SpatialOps
+    // points stream in micro-batches; the polygon dictionary is the static
+    // broadcast side — pipJoin's cell equi-join + exact contains residual
+    // must behave identically under Structured Streaming (geofencing)
+    val polys = graft.EntryQueries.districtPolygons(spark)
+    val pts = ImageTable.metaDf(spark, 0, 3000)
+      .withColumn("lon", SpatialOps.phashLon(col("phash")))
+      .withColumn("lat", SpatialOps.phashLat(col("phash")))
+      .select("id", "lon", "lat")
+    val dir = Files.createTempDirectory("graft_geofence")
+    pts.repartition(3).write.parquet(dir.resolve("pts").toString)
+    val schema = spark.read.parquet(dir.resolve("pts").toString).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.resolve("pts").toString)
+    val joined = SpatialOps.pipJoin(stream, col("lon"), col("lat"), polys, "geom", res = 7)
+      .select("id", "district")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_geofence_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT id, district FROM graft_geofence_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = SpatialOps.pipJoin(
+        spark.read.parquet(dir.resolve("pts").toString),
+        col("lon"), col("lat"), polys, "geom", res = 7)
+      .select("id", "district")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "no points landed in any district — fixture broken")
+  }
+
   test("streaming dedup-on-ingest: watermark-bounded exact dedup drops replayed content") {
     import org.apache.spark.sql.streaming.Trigger
     // two micro-batch files; file b replays half of file a's texts (same
