@@ -517,11 +517,14 @@ object Dedup {
     val nodes = raw.select(explode(array(col("u"), col("v"))).as("id")).distinct()
       .persist(lvl)
     CacheTracker.register(nodes)
+    // cheap check first (one shuffle, no join): unconverged rounds almost
+    // always have a multi-target source, so most rounds pay 1 probe not 2
     def isStarForest(e: DataFrame): Boolean = {
-      val targetIsSource = e.select(col("v").as("u")).distinct()
-        .join(e.select("u").distinct(), Seq("u"), "left_semi").limit(1).count() > 0
-      !targetIsSource &&
-        e.groupBy("u").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      val multiTarget = e.groupBy("u").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count() > 0
+      !multiTarget &&
+        e.select(col("v").as("u")).distinct()
+          .join(e.select("u").distinct(), Seq("u"), "left_semi")
           .limit(1).count() == 0
     }
     var edges = raw.filter(col("u") =!= col("v"))
@@ -536,15 +539,19 @@ object Dedup {
       val mins = bidir.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
       val large = bidir.join(mins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint(true)
+        .distinct()
       // small-star on canonical edges: all of N(u) is smaller than u, so
-      // m = min neighbor; attach u and every neighbor ≠ m to m
+      // m = min neighbor; attach u and every neighbor ≠ m to m. `large`
+      // is NOT separately checkpointed: both of its consumers sit in the
+      // ONE `next` plan (its distinct's exchange is reused), rooted at the
+      // checkpointed `edges` — one materialization per round, and lineage
+      // still truncates at `next`
       val sm = large.groupBy("u").agg(min(col("v")).as("m"))
       val next = large.join(sm, "u").filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(sm.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint(true)
-      edges.unpersist(); large.unpersist()
+      edges.unpersist()
       edges = next
       converged = isStarForest(edges)
       iter += 1

@@ -481,8 +481,12 @@ object SpatialOps {
       radiusDeg: Double, res: Int, scale: Int = 1000,
       algorithm: String = "auto"): DataFrame = {
     val pairs = radiusPairs(df, id, lon, lat, radiusDeg, res, scale)
+    // geometric proximity graphs are bimodal: dense blobs collapse in ≤4
+    // label passes, near-percolation chains need the star fallback anyway —
+    // a short label attempt wastes less before auto switches
     val comps = graft.operators.Dedup.connectedComponents(
-      pairs, col("id_a"), col("id_b"), algorithm = algorithm)
+      pairs, col("id_a"), col("id_b"), algorithm = algorithm,
+      autoLabelPasses = 4)
       .withColumnRenamed("id", "__cc_id")
     df.join(comps, id === col("__cc_id"), "left")
       .withColumn("cluster", coalesce(col("comp"), id.cast("long")))
