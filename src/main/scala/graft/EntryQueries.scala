@@ -972,6 +972,27 @@ object EntryQueries {
   }
   def q46Sql: String = OracleSqlGen.q46Sql(2L)
 
+  /** Per-document salient terms ([[TextOps.tfIdfTopTerms]]): integer-exact
+    * tf-idf — score = tf · (nDocs·10⁶ // df) — top-3 terms per document.
+    * The log-free rational idf is order-equivalent within a document and
+    * keeps the ranking bit-identical in DuckDB. */
+  def q47TfIdf(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfIdfTopTerms(t(s, dir, "documents"), col("doc_id"), col("text"), 3)
+  def q47Sql: String = OracleSqlGen.q47Sql(3, 1000000L)
+
+  /** Canonical keep-set ([[Dedup.keepBest]]): SimHash near-dup pairs →
+    * transitive closure → keep the highest-qualityScoreBp doc per cluster,
+    * singletons kept — the final step of the dedup chain (pairs → groups →
+    * KEEP). Oracle replays q22's simhash pairs, the q39-style recursive
+    * closure, and q23's integer quality blend. */
+  def q48KeepBest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pairs = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxHamming = 3)
+    Dedup.keepBest(d, col("doc_id"), TextOps.qualityScoreBp(col("text")),
+      pairs, col("id_a"), col("id_b"))
+  }
+  def q48Sql: String = OracleSqlGen.q48Sql(3)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1029,7 +1050,9 @@ object EntryQueries {
     "q43_radius_pairs" -> (q43RadiusPairs _, q43Sql),
     "q44_compacted_range" -> (q44CompactedRange _, q44Sql),
     "q45_ann_append" -> (q45AnnAppend _, q45Sql),
-    "q46_spatial_clusters" -> (q46SpatialClusters _, q46Sql))
+    "q46_spatial_clusters" -> (q46SpatialClusters _, q46Sql),
+    "q47_tfidf" -> (q47TfIdf _, q47Sql),
+    "q48_keep_best" -> (q48KeepBest _, q48Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

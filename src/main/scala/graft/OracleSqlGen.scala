@@ -571,6 +571,68 @@ object OracleSqlGen {
        |SELECT token, COUNT(*) AS n FROM toks GROUP BY token
        |ORDER BY n DESC, token LIMIT $k""".stripMargin
 
+  /** q47: per-document top-k terms by integer-exact tf-idf — score =
+    * tf · (nDocs·idfScale // df) with tf/df/nDocs all exact integers;
+    * tokenization identical to q41 (single-space split, lowercased).
+    * `//` is DuckDB floor division == Spark's `div` on positive longs. */
+  def q47Sql(k: Int, idfScale: Long): String =
+    s"""WITH toks AS (SELECT doc_id, lower(tok) AS token
+       |  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+       |  WHERE len(tok) > 0),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (SELECT t.doc_id, t.token, t.tf, d.df,
+       |  t.tf * ((nd.n_docs * $idfScale) // d.df) AS score
+       |  FROM tf t JOIN dfreq d USING (token), nd),
+       |ranked AS (SELECT doc_id, token, tf, df, score,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       |  CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+
+  /** q48: canonical keep-set — SimHash pairs (q22's sig CTE), the q39-style
+    * recursive-CTE transitive closure, the q23 integer quality blend, then
+    * one doc kept per component by (quality DESC, id ASC); docs in no pair
+    * are their own component. */
+  def q48Sql(maxHamming: Int): String = {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+    s"""WITH RECURSIVE $simhashCtes,
+       |prs AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b
+       |  ON a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= $maxHamming),
+       |bidir AS (SELECT ia AS src, ib AS dst FROM prs
+       |  UNION ALL SELECT ib, ia FROM prs),
+       |gnodes AS (SELECT DISTINCT src AS id FROM bidir),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM gnodes
+       |  UNION
+       |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON b.src = r.dst),
+       |comp AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src),
+       |qb AS (SELECT doc_id,
+       |  length(text) AS n,
+       |  length(text) - length(regexp_replace(text, '[\\p{P}]', '', 'g')) AS n_punct,
+       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+       |  list_filter(regexp_split_to_array(lower(text), '[^a-z'']+'), w -> len(w) > 0) AS qwords
+       |  FROM documents),
+       |qs AS (SELECT doc_id, n, n_punct, n_digit, len(qwords) AS n_qw,
+       |  len(list_filter(qwords, w -> list_contains([${stop.map("'" + _ + "'").mkString(", ")}], w))) AS n_stop
+       |  FROM qb),
+       |qual AS (SELECT doc_id, CAST(LEAST(n, 500) * 8
+       |  + CASE WHEN 200 * n_punct >= n AND 20 * n_punct <= 3 * n THEN 2500 ELSE 750 END
+       |  + CASE WHEN n_qw > 0 AND 10 * n_stop >= n_qw AND 10 * n_stop <= 7 * n_qw THEN 2500 ELSE 1000 END
+       |  + CASE WHEN 10 * n_digit < 3 * n THEN 1000 ELSE 200 END AS BIGINT) AS quality
+       |  FROM qs),
+       |lab AS (SELECT q.doc_id AS id, q.quality, COALESCE(c.comp, q.doc_id) AS comp
+       |  FROM qual q LEFT JOIN comp c ON c.id = q.doc_id),
+       |r AS (SELECT id, comp, quality,
+       |  ROW_NUMBER() OVER (PARTITION BY comp ORDER BY quality DESC, id) AS rnk,
+       |  COUNT(*) OVER (PARTITION BY comp) AS n_members FROM lab)
+       |SELECT id, comp, quality, CAST(n_members AS BIGINT) AS n_members
+       |FROM r WHERE rnk = 1""".stripMargin
+  }
+
   /** q37: packBins over shardKey(source, doc_id, nShards) — the giant-key
     * sharding recipe replayed end-to-end. nShards MUST be a power of two
     * here: Spark's `pmod(mix64(id), 2^k)` equals `(m & (2^k−1))` on the

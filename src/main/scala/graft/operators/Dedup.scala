@@ -564,6 +564,41 @@ object Dedup {
     labels
   }
 
+  /** Canonical-representative selection — the keep-set step completing the
+    * dedup chain pairs → groups → KEEP: given near-dup `pairs` over document
+    * ids, group them into clusters (transitive closure via
+    * [[connectedComponents]]) and keep exactly ONE document per cluster —
+    * the highest `quality`, ties broken by lowest id. Documents appearing
+    * in no pair are their own cluster and are always kept. Returns one row
+    * per KEPT document: (id, comp, quality, n_members) where `comp` is the
+    * cluster label (min member id) and `n_members` its size (1 for
+    * singletons).
+    *
+    * `quality` must be integer-valued for cross-engine determinism (e.g.
+    * [[TextOps.qualityScoreBp]]); float scores make the argmax order
+    * engine-dependent. Plan shape at scale: the closure's per-pass shuffle
+    * (passes = cluster diameter, `algorithm = "auto"` falls back to
+    * star-contraction for chain-shaped graphs) + one left join on the doc
+    * id + one window on the high-cardinality `comp` key — both window
+    * aggregates (rank, size) share a single exchange. No driver collects. */
+  def keepBest(docs: DataFrame, id: Column, quality: Column,
+               pairs: DataFrame, a: Column, b: Column,
+               algorithm: String = "auto"): DataFrame = {
+    val comps = connectedComponents(pairs, a, b, algorithm = algorithm)
+      .withColumnRenamed("id", "__cid")
+    val base = docs.select(id.cast("long").as("id"), quality.cast("long").as("quality"))
+    val labeled = base.join(comps, base("id") === comps("__cid"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("id")))
+      .drop("__cid")
+    val byComp = Window.partitionBy("comp")
+    val rankW = byComp.orderBy(col("quality").desc, col("id").asc)
+    labeled
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .withColumn("__rnk", row_number().over(rankW))
+      .filter(col("__rnk") === 1)
+      .select("id", "comp", "quality", "n_members")
+  }
+
   /** 64-bit SimHash over whitespace tokens — single-pass kernel expression
     * (a 64-aggregate builtin formulation re-scans the token array per bit). */
   def simhash(text: Column): Column = graft.functions.st.simhash64(text)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID
@@ -35,6 +36,43 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
+  }
+
+  /** Per-document top-k salient terms by an integer-exact tf-idf score:
+    * score = tf · floor(nDocs · idfScale / df). tf = in-document term count,
+    * df = number of documents containing the term, nDocs = corpus size —
+    * all exact integers, so the ranking is bit-identical across engines.
+    * The floating log() of textbook idf is deliberately replaced by the
+    * rational nDocs/df at a fixed scale: log is monotone, so the WITHIN-
+    * document ranking it induces is the same, and integer arithmetic is
+    * reproducible where cross-engine libm is not. Tokenization matches
+    * [[topTokens]] (single-space split, lowercased); ties rank by token
+    * ascending; `rnk` is long (DuckDB's ROW_NUMBER is BIGINT).
+    *
+    * Plan shape at scale: tokenize → (doc,term) groupBy (one shuffle,
+    * map-side combined) → term groupBy for df (second shuffle, combined) →
+    * shuffle equi-join tf⋈df on term (the vocabulary is NOT assumed
+    * broadcastable at 100 TB) → per-document window on the high-cardinality
+    * doc key. The corpus count joins in as a broadcast single-row frame —
+    * no driver collect. nDocs·idfScale must fit in a long (9.2e18). */
+  def tfIdfTopTerms(df: DataFrame, id: Column, text: Column, k: Int,
+                    idfScale: Long = 1000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(idfScale >= 1, "idfScale must be >= 1")
+    val toks = df.select(id.cast("long").as("doc_id"),
+        explode(split(lower(text), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * expr(s"(n_docs * CAST($idfScale AS BIGINT)) div df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "token", "tf", "df", "score", "rnk")
   }
 
   /** Quality-score components: length, punctuation ratio, stopword ratio,

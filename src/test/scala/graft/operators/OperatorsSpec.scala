@@ -693,6 +693,23 @@ class DedupAnnSpec extends AnyFunSuite {
     CacheTracker.releaseAll()
   }
 
+  test("keepBest: argmax quality per cluster, singletons kept, ties to lowest id") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (5L, 50L), (6L, 60L))
+      .toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val kept = Dedup.keepBest(docs, col("id"), col("q"), pairs, col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // {1,2,3}: max q 30 tied between 2 and 3 -> lowest id 2; comp = min id 1
+    // {4}: singleton always kept; {5,6}: 6 wins on quality
+    assert(kept == Set((2L, 1L, 30L, 3L), (4L, 4L, 5L, 1L), (6L, 5L, 60L, 2L)))
+    CacheTracker.releaseAll()
+    // no pairs at all: every doc is its own kept singleton
+    val solo = Dedup.keepBest(docs, col("id"), col("q"),
+      pairs.limit(0), col("a"), col("b"))
+    assert(solo.count() == 6 && solo.filter(col("n_members") =!= 1).count() == 0)
+    CacheTracker.releaseAll()
+  }
+
   test("mixing: stratifiedSample == per-row integer model; partition-invariant") {
     val rows = (0L until 400L).map(i => (i, s"k${i % 4}")).toDF("id", "key")
     val weights = Map("k0" -> 3.0, "k1" -> 1.6, "k2" -> 0.3) // k3 dropped
@@ -1124,6 +1141,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(en.getString(4) == "en")
     val empty = df.filter(col("tag") === "empty").head()
     assert(empty.getInt(1) == 0)
+  }
+
+  test("tfIdfTopTerms: hand-computed integer scores; ties rank by token") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "banana"),
+      (4L, "dog cat")).toDF("id", "text")
+    // nDocs = 4, idfScale = 100: idf = 400 // df.
+    // df: apple 1, banana 3, cherry 1, dog 1, cat 1 -> idf 400/133/400/400/400
+    val out = TextOps.tfIdfTopTerms(docs, col("id"), col("text"), 2, idfScale = 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(out == Set(
+      (1L, "apple", 2L, 1L, 800L, 1L), (1L, "banana", 1L, 3L, 133L, 2L),
+      (2L, "cherry", 1L, 1L, 400L, 1L), (2L, "banana", 1L, 3L, 133L, 2L),
+      (3L, "banana", 1L, 3L, 133L, 1L),
+      (4L, "cat", 1L, 1L, 400L, 1L), (4L, "dog", 1L, 1L, 400L, 2L)))
   }
 
   test("fingerprint: deterministic, prefix-sensitive") {
