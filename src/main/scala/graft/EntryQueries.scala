@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.st
-import graft.operators.{Ann, Dedup, Mixing, SpatialOps, TextOps}
+import graft.operators.{Ann, Dedup, Mixing, SpatialOps, TextOps, TimeOps}
 import graft.sources.ImageTable
 
 /** The operator-coverage query suite behind [[SparkEntry]].
@@ -993,6 +993,82 @@ object EntryQueries {
   }
   def q48Sql: String = OracleSqlGen.q48Sql(3)
 
+  /** As-of join ([[TimeOps.asofJoin]]): every non-purchase event gets the
+    * user's most recent purchase at-or-before it (nulls when none). ONE
+    * per-user window pass — no range join; ties broken by the largest
+    * purchase event_id. Oracle = brute inequality left-join + ROW_NUMBER
+    * pick, an independent formulation of the same semantics. */
+  def q49AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val left = e.filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "event_type", "ts")
+    val right = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    TimeOps.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        tieBreak = "p_event_id", payload = Seq("p_event_id", "p_value"))
+      .select("event_id", "user_id", "event_type", "p_event_id", "p_value")
+  }
+  val q49Sql: String =
+    """WITH l AS (SELECT event_id, user_id, event_type, ts FROM events
+      |           WHERE event_type <> 'purchase'),
+      |r AS (SELECT user_id, ts AS p_ts, event_id AS p_event_id, value AS p_value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT event_id, user_id, event_type, p_event_id, p_value FROM (
+      |  SELECT l.event_id, l.user_id, l.event_type, r.p_event_id, r.p_value,
+      |    ROW_NUMBER() OVER (PARTITION BY l.event_id
+      |                       ORDER BY r.p_ts DESC, r.p_event_id DESC) AS rn
+      |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.p_ts <= l.ts)
+      |WHERE rn = 1""".stripMargin
+
+  /** Gap sessionization ([[TimeOps.sessionize]]): 4-hour-gap sessions per
+    * user via Spark's native session_window; bounds are min/max EVENT time
+    * (engine-neutral). Oracle = classic gaps-and-islands (lag + running
+    * sum of new-session flags). */
+  def q50Sessions(s: SparkSession, dir: String): DataFrame =
+    TimeOps.sessionize(t(s, dir, "events"), Seq("user_id"), "ts",
+      gap = "4 hours", value = "value")
+  val q50Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |               + INTERVAL 4 HOUR
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM o)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** Point-in-interval join ([[TimeOps.intervalJoin]]): clicks inside
+    * 2-hour promo windows opened by every 20th purchase — bucketed
+    * equi-join on the hour (each pair meets in exactly one bucket), exact
+    * end-exclusive residual. Oracle = brute inequality join. */
+  def q51RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val promos = e.filter(col("event_type") === "purchase" && col("event_id") % 20 === 0)
+      .select(col("event_id").as("promo_id"), col("ts").as("p_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("p_end"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    TimeOps.intervalJoin(clicks, "ts", promos, "p_start", "p_end",
+        bucketUnit = "hour")
+      .select("promo_id", "event_id", "user_id")
+  }
+  val q51Sql: String =
+    """WITH promo AS (
+      |  SELECT event_id AS promo_id, ts AS p_start, ts + INTERVAL 2 HOUR AS p_end
+      |  FROM events WHERE event_type = 'purchase' AND event_id % 20 = 0),
+      |pts AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT promo_id, event_id, user_id
+      |FROM promo JOIN pts ON ts >= p_start AND ts < p_end""".stripMargin
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1052,7 +1128,10 @@ object EntryQueries {
     "q45_ann_append" -> (q45AnnAppend _, q45Sql),
     "q46_spatial_clusters" -> (q46SpatialClusters _, q46Sql),
     "q47_tfidf" -> (q47TfIdf _, q47Sql),
-    "q48_keep_best" -> (q48KeepBest _, q48Sql))
+    "q48_keep_best" -> (q48KeepBest _, q48Sql),
+    "q49_asof_join" -> (q49AsofJoin _, q49Sql),
+    "q50_sessions" -> (q50Sessions _, q50Sql),
+    "q51_range_join" -> (q51RangeJoin _, q51Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
