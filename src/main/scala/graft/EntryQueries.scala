@@ -1069,6 +1069,52 @@ object EntryQueries {
       |SELECT promo_id, event_id, user_id
       |FROM promo JOIN pts ON ts >= p_start AND ts < p_end""".stripMargin
 
+  /** Repetition quality filter ([[TextOps.repetitionStats]]): per-document
+    * duplicated word-bigram statistics — the Gopher-style "repetitious
+    * document" signal, all-integer (dup_bp = basis points by integer
+    * division). Oracle forms bigrams from the tokenized list laterally —
+    * an independent formulation of the lead-window gram construction. */
+  def q52RepStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(t(s, dir, "documents"), col("doc_id"), col("text"), n = 2)
+  val q52Sql: String =
+    """WITH words AS (SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w FROM documents),
+      |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+      |  FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i) WHERE len(w) >= 2),
+      |counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct,
+      |  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup, CAST(MAX(c) AS BIGINT) AS top_gram_n,
+      |  CAST(((SUM(c) - COUNT(*)) * 10000) // SUM(c) AS BIGINT) AS dup_bp
+      |FROM counts GROUP BY doc_id""".stripMargin
+
+  /** Hopping windows ([[TimeOps.hoppingAgg]]): 6-hour windows sliding every
+    * 2 hours — each event in exactly 3 windows, replicated map-side into a
+    * partially-aggregated shuffle. Oracle enumerates the covering window
+    * starts by exact microsecond arithmetic (epoch_us; Spark's window() is
+    * epoch-aligned integer-microsecond bucketing, so this is exact). */
+  def q53Hopping(s: SparkSession, dir: String): DataFrame =
+    TimeOps.hoppingAgg(t(s, dir, "events"), "ts", "6 hours", "2 hours",
+      Seq("event_type"), "value")
+  val q53Sql: String =
+    """WITH e AS (SELECT event_type, value, epoch_us(ts) AS ep FROM events),
+      |x AS (SELECT event_type, value,
+      |    (ep // 7200000000) * 7200000000 - j * 7200000000 AS ws
+      |  FROM e, unnest(generate_series(0, 2)) AS t(j)
+      |  WHERE (ep // 7200000000) * 7200000000 - j * 7200000000 > ep - 21600000000)
+      |SELECT make_timestamp(ws) AS window_start,
+      |  make_timestamp(ws + 21600000000) AS window_end,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+      |FROM x GROUP BY ws, event_type""".stripMargin
+
+  /** Winnowing fingerprints ([[TextOps.winnowFingerprints]], k=3, w=4):
+    * substring-level document fingerprints — the local-similarity primitive
+    * MinHash's whole-document Jaccard can't express. */
+  def q54Winnow(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowFingerprints(t(s, dir, "documents"), col("doc_id"), col("text"),
+      k = 3, w = 4)
+  def q54Sql: String = OracleSqlGen.q54Sql(3, 4)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1131,7 +1177,10 @@ object EntryQueries {
     "q48_keep_best" -> (q48KeepBest _, q48Sql),
     "q49_asof_join" -> (q49AsofJoin _, q49Sql),
     "q50_sessions" -> (q50Sessions _, q50Sql),
-    "q51_range_join" -> (q51RangeJoin _, q51Sql))
+    "q51_range_join" -> (q51RangeJoin _, q51Sql),
+    "q52_repetition" -> (q52RepStats _, q52Sql),
+    "q53_hopping" -> (q53Hopping _, q53Sql),
+    "q54_winnow" -> (q54Winnow _, q54Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

@@ -841,4 +841,31 @@ object OracleSqlGen {
        |    na, nb FROM cand)
        |SELECT id_a, id_b, dot_q, CAST(0 AS BIGINT) AS n_dropped_buckets FROM scored
        |WHERE dot_q > 0 AND dot_q * dot_q * 400 >= 361 * na * nb""".stripMargin
+
+  /** q54: winnowing fingerprints (TextOps.winnowFingerprints, Schleimer et
+    * al. SIGMOD'03) — word k-gram fp64 rolling hashes (the [[rollHash]]
+    * replay, converted to SIGNED before the window min so the min order
+    * matches Spark's signed longs), per-document window MIN over `wv`
+    * consecutive gram hashes (full windows only, plus the truncated window
+    * at pos 0 for short docs), distinct selected hashes joined back to
+    * their first gram position. */
+  def q54Sql(k: Int, wv: Int): String = {
+    val gram = (0 until k).map(j => if (j == 0) "w[i]" else s"w[i + $j]").mkString(" || ' ' || ")
+    s"""WITH words AS (SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w FROM documents),
+       |grams AS (SELECT doc_id, i - 1 AS pos, $gram AS gram
+       |  FROM words, unnest(generate_series(1, len(w) - ${k - 1})) AS t(i)
+       |  WHERE len(w) >= $k),
+       |gh AS (SELECT doc_id, pos, ${toSigned(rollHash("gram"))} AS h FROM grams),
+       |st AS (SELECT doc_id, pos, h,
+       |   COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+       |   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN CURRENT ROW AND ${wv - 1} FOLLOWING) AS minh
+       |  FROM gh),
+       |sel AS (SELECT DISTINCT doc_id, minh AS fp FROM st
+       |        WHERE pos <= GREATEST(n_grams - $wv, 0)),
+       |fpos AS (SELECT doc_id, h, MIN(pos) AS pos FROM gh GROUP BY doc_id, h)
+       |SELECT s.doc_id, s.fp, CAST(f.pos AS BIGINT) AS pos
+       |FROM sel s JOIN fpos f ON f.doc_id = s.doc_id AND f.h = s.fp""".stripMargin
+  }
 }

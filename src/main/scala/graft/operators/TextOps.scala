@@ -157,4 +157,97 @@ object TextOps {
     * expression — a builtin fold would trip ANSI overflow checks). */
   def fingerprint(text: Column, prefixLen: Int = 256): Column =
     graft.functions.st.fp64(text, prefixLen)
+
+  /** (doc_id, pos, gram) for every word n-gram: tokens are the lowercased
+    * single-space split (matching [[topTokens]]/[[tfIdfTopTerms]]), `pos` is
+    * the 0-based token position of the gram's first word — contiguous
+    * 0..T-n per document. Grams are formed with `lead` over ONE per-document
+    * window (a single hash shuffle); building them as an expression forest
+    * over the tokenized array would let CollapseProject re-inline the heavy
+    * split() subtree once per gram element (the documented 100× MinHash
+    * failure mode). */
+  private def gramFrame(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val toks = df.select(id.cast("long").as("doc_id"),
+      posexplode(filter(split(lower(text), " "), t => length(t) > 0))
+        .as(Seq("pos", "token")))
+    if (n == 1) toks.select(col("doc_id"), col("pos"), col("token").as("gram"))
+    else {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val withLeads = (1 until n).foldLeft(toks) { (d, i) =>
+        d.withColumn(s"__t$i", lead(col("token"), i).over(w))
+      }
+      withLeads.filter(col(s"__t${n - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("token") +: (1 until n).map(i => col(s"__t$i")): _*).as("gram"))
+    }
+  }
+
+  /** Intra-document repetition statistics — the Gopher-style "repetitious
+    * document" quality filter (Rae et al. 2021 use duplicate-line and
+    * duplicate-n-gram fractions; this is the n-gram form). Per document:
+    * `n_grams` total word n-gram occurrences, `n_distinct` distinct grams,
+    * `n_dup = n_grams - n_distinct` duplicated occurrences, `top_gram_n`
+    * the hottest gram's count, and `dup_bp = ⌊n_dup·10000/n_grams⌋` — all
+    * exact integers, so the filter threshold replays bit-identically in any
+    * engine (a float ratio would not). Documents with fewer than `n` tokens
+    * produce no row (they have no n-gram to repeat).
+    *
+    * Plan shape at scale: one per-document window (gram formation), one
+    * map-side-combined (doc,gram) aggregation, one map-side-combined doc
+    * rollup — no corpus-wide state, no driver collect. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column, n: Int = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    gramFrame(df, id, text, n)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        (sum("c") - count(lit(1))).as("n_dup"),
+        max("c").as("top_gram_n"))
+      .withColumn("dup_bp", expr("(n_dup * 10000) div n_grams"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03): hash every word `k`-gram with the fp64 rolling hash, then
+    * from every window of `w` consecutive gram hashes select the minimum —
+    * the winnowing guarantee is that any shared substring of at least
+    * `k + w - 1` tokens yields at least one shared fingerprint, at ~2/(w+1)
+    * the density of full k-gram hashing. The local-fingerprint primitive
+    * for substring-level contamination/plagiarism detection, where
+    * MinHash's whole-document Jaccard is the wrong granularity.
+    *
+    * Returns (doc_id, fp, pos): the distinct selected hashes per document
+    * and the first gram position bearing each. Documents with fewer than
+    * `k + w - 1` tokens degenerate to one fingerprint = min over all their
+    * grams (the `pos <= max(n_grams - w, 0)` guard keeps exactly the full
+    * windows, plus the truncated window at pos 0 when none is full).
+    *
+    * Ties and determinism: min over 64-bit SIGNED hash values; `pos` is
+    * the per-document minimum position of the hash — both total orders, so
+    * output is bit-identical at any parallelism. The gram frame is
+    * persisted once (two consumers — the window pass and the position
+    * lookup — would otherwise re-run tokenization); released via
+    * [[CacheTracker]]. */
+  def winnowFingerprints(df: DataFrame, id: Column, text: Column,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(w >= 1, "w must be >= 1")
+    val grams = CacheTracker.register(
+      gramFrame(df, id, text, k)
+        .select(col("doc_id"), col("pos"),
+          graft.functions.st.fp64(col("gram"), 65536).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val byDoc = Window.partitionBy("doc_id")
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val sel = grams
+      .withColumn("n_grams", count(lit(1)).over(byDoc))
+      .withColumn("minh", min("h").over(frame))
+      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
+      .select(col("doc_id"), col("minh").as("fp")).distinct()
+    val firstPos = grams.groupBy("doc_id", "h").agg(min("pos").as("p"))
+    sel.join(firstPos,
+        sel("doc_id") === firstPos("doc_id") && sel("fp") === firstPos("h"))
+      .select(sel("doc_id"), sel("fp"), col("p").cast("long").as("pos"))
+  }
 }

@@ -115,6 +115,34 @@ object TimeOps {
         col("n_events"), col("total_value")): _*)
   }
 
+  /** Hopping (sliding) event-time window aggregation via Spark's native
+    * `window(ts, windowLen, slide)` — each event lands in
+    * `windowLen/slide` overlapping windows (epoch-aligned, the same
+    * semantics Structured Streaming uses, so the batch and streaming paths
+    * agree). The window replication happens MAP-SIDE and feeds a partially
+    * aggregated shuffle, so shuffle volume is O(windows × keys), not
+    * O(rows × windowLen/slide) — at 100 TB the fan-out never crosses the
+    * wire un-aggregated.
+    *
+    * Output per (window, keys): `window_start`/`window_end` (event-time
+    * bounds), `n_events`, and `total_value` as an exact DECIMAL sum cast
+    * back to double (order-independent, engine-neutral). */
+  def hoppingAgg(
+      events: DataFrame,
+      ts: String,
+      windowLen: String,
+      slide: String,
+      keys: Seq[String],
+      value: String): DataFrame = {
+    events
+      .groupBy(window(col(ts), windowLen, slide).as("__w") +: keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(value).cast(DecimalType(20, 6))).cast("double").as("total_value"))
+      .select(Seq(col("__w.start").as("window_start"), col("__w.end").as("window_end")) ++
+        keys.map(col) ++ Seq(col("n_events"), col("total_value")): _*)
+  }
+
   /** Point-in-interval join (`start <= ts < end`, end-exclusive) via a
     * time-bucket equi-join: each interval explodes to the `bucketUnit`
     * buckets it covers, each point maps to its own bucket, and the join is

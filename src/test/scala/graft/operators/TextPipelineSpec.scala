@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Kernels
+import graft.functions.SparkTestSession
+
+/** Pins [[TextOps.repetitionStats]] (Gopher-style duplicate-n-gram quality
+  * signal) and [[TextOps.winnowFingerprints]] (Schleimer et al. winnowing)
+  * against hand cases and an independent plain-Scala replay.
+  */
+class TextPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic synthetic corpus: doc i = len(i) tokens from a 23-word
+    * vocabulary (heavy natural repetition), with some docs too short to
+    * fill a winnow window. */
+  private def corpus(n: Int): Seq[(Long, String)] =
+    (0 until n).map { i =>
+      val len = 3 + (i * 17) % 40 // 3..42 tokens
+      val words = (0 until len).map(j => s"w${(i * 7 + j * j * 13) % 23}")
+      (i.toLong, words.mkString(" "))
+    }
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("repetitionStats hand case: counts, top gram, dup basis points") {
+    val df = docsDf(Seq((1L, "a b a b c"), (2L, "x y"), (3L, "z")))
+    val got = TextOps.repetitionStats(df, col("doc_id"), col("text"), n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // doc 1 bigrams: "a b","b a","a b","b c" → 4 total, 3 distinct, 1 dup, top 2
+    assert(got(1L) == ((4L, 3L, 1L, 2L, 2500L)))
+    // doc 2: one bigram, no dup
+    assert(got(2L) == ((1L, 1L, 0L, 1L, 0L)))
+    // doc 3: single token < n → no row at all
+    assert(!got.contains(3L))
+  }
+
+  test("repetitionStats == plain-Scala sliding-count replay on a repetitious corpus") {
+    val rows = corpus(60)
+    val got = TextOps.repetitionStats(docsDf(rows), col("doc_id"), col("text"), n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val exp = rows.flatMap { case (id, text) =>
+      val grams = text.split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toVector
+      if (grams.isEmpty) None
+      else {
+        val counts = grams.groupBy(identity).map(_._2.size)
+        val total = grams.size.toLong; val distinct = counts.size.toLong
+        Some(id -> ((total, distinct, total - distinct, counts.max.toLong,
+          (total - distinct) * 10000L / total)))
+      }
+    }.toMap
+    assert(got == exp)
+    assert(exp.values.exists(_._3 > 0), "corpus should contain duplicated bigrams")
+  }
+
+  /** Plain-Scala winnowing replay: k-gram fp64 hashes, min per w-window
+    * (full windows only, plus the truncated pos-0 window for short docs),
+    * distinct fingerprints with their first gram position. */
+  private def bruteWinnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val grams = text.toLowerCase.split(" ").filter(_.nonEmpty).sliding(k)
+      .filter(_.length == k).map(_.mkString(" ")).toVector
+    val hs = grams.map(g => Kernels.fp64(g, 65536))
+    if (hs.isEmpty) Set.empty
+    else {
+      val starts = 0 to math.max(hs.length - w, 0)
+      starts.map(s => hs.slice(s, math.min(s + w, hs.length)).min).toSet
+        .map((h: Long) => (h, hs.indexOf(h).toLong))
+    }
+  }
+
+  test("winnowFingerprints == plain-Scala replay (incl. short-doc degenerate case)") {
+    val rows = corpus(60)
+    val got = TextOps.winnowFingerprints(docsDf(rows), col("doc_id"), col("text"),
+        k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+    CacheTracker.releaseAll()
+    val exp = rows.map { case (id, text) => id -> bruteWinnow(text, 3, 4) }
+      .filter(_._2.nonEmpty).toMap
+    assert(got == exp)
+    // the 3-token docs (one gram) must degenerate to exactly one fingerprint
+    val short = rows.filter(_._2.split(" ").length < 6).map(_._1)
+    assert(short.nonEmpty && short.forall(id => got(id).size == 1))
+  }
+
+  test("winnowing guarantee: docs sharing a >= k+w-1 token run share a fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = k+w-1
+    val rows = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"nine ten eleven twelve $shared thirteen"))
+    val fps = TextOps.winnowFingerprints(docsDf(rows), col("doc_id"), col("text"),
+        k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+    CacheTracker.releaseAll()
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+  }
+}

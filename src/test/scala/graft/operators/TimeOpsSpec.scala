@@ -125,6 +125,28 @@ class TimeOpsSpec extends AnyFunSuite {
     assert(salted == got)
   }
 
+  test("hoppingAgg == brute window-start enumeration; each event in win/slide windows") {
+    val e = events(2000, 5, 11).select(col("id"), col("user"), col("ts"), col("v"))
+    val got = TimeOps.hoppingAgg(e, "ts", "6 hours", "2 hours", Seq("user"), "v")
+
+    val slideUs = 7200L * 1000000L; val winUs = 21600L * 1000000L
+    val brute = e.withColumn("ep", expr("unix_micros(ts)"))
+      .withColumn("j", explode(lit((0 until 3).toArray)))
+      .withColumn("ws", expr(s"(ep div $slideUs) * $slideUs - j * $slideUs"))
+      .filter(col("ws") > col("ep") - winUs)
+      .groupBy("ws", "user")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v").cast(DecimalType(20, 6))).cast("double").as("total_value"))
+      .select(expr("timestamp_micros(ws)").as("window_start"),
+        expr(s"timestamp_micros(ws + $winUs)").as("window_end"),
+        col("user"), col("n_events"), col("total_value"))
+
+    val gotSet = got.collect().map(_.toSeq).toSet
+    assert(gotSet == brute.collect().map(_.toSeq).toSet)
+    // every event replicated exactly win/slide = 3 times
+    assert(got.agg(sum("n_events")).head.getLong(0) == 3 * e.count())
+  }
+
   test("intervalJoin boundaries: start inclusive, end exclusive, bucket-edge interior point") {
     val pts = Seq(1000L, 3600L, 4600L).map(s => s * 1000000L).toDF("us")
       .withColumn("ts", expr("timestamp_micros(us)"))
