@@ -1115,6 +1115,19 @@ object EntryQueries {
       k = 3, w = 4)
   def q54Sql: String = OracleSqlGen.q54Sql(3, 4)
 
+  /** Product-quantization ANN ([[Ann.pqTopK]], m=8 subspaces × ks=16 codes):
+    * the compressed-scan search path — corpus scanned as codes, queries
+    * ADC-scored against codebook reconstructions. Oracle replays training,
+    * encoding, and scoring in exact integers (the q30/q31 contract). */
+  def q55PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.pqTopK(
+      emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 10, m = 8, ks = 16, iters = 1)
+  }
+  def q55Sql: String = OracleSqlGen.q55Sql(8, 16, 1, 64, 5, 10)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1180,7 +1193,8 @@ object EntryQueries {
     "q51_range_join" -> (q51RangeJoin _, q51Sql),
     "q52_repetition" -> (q52RepStats _, q52Sql),
     "q53_hopping" -> (q53Hopping _, q53Sql),
-    "q54_winnow" -> (q54Winnow _, q54Sql))
+    "q54_winnow" -> (q54Winnow _, q54Sql),
+    "q55_pq_ann" -> (q55PqTopK _, q55Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

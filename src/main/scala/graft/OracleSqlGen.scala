@@ -842,6 +842,60 @@ object OracleSqlGen {
        |SELECT id_a, id_b, dot_q, CAST(0 AS BIGINT) AS n_dropped_buckets FROM scored
        |WHERE dot_q > 0 AND dot_q * dot_q * 400 >= 361 * na * nb""".stripMargin
 
+  /** q55: full replay of product-quantization ANN (Ann.pqTopK): quantize,
+    * seed every subspace with the SAME ks globally-mix64-smallest rows
+    * (sliced per subspace), `iters` per-subspace Lloyd's rounds (integer
+    * squared-L2, ties to the lowest code, floor-divided integer means,
+    * empty codes keep their previous centroid), encode the corpus to
+    * per-subspace codes, then ADC-score queries as Σ_s q_sub·codebook
+    * reconstruction — every quantity an exact integer, so the replay is
+    * bit-identical to the Spark loop (same contract as q30/q31/q45). */
+  def q55Sql(m: Int, ks: Int, iters: Int, dims: Int, nq: Int, topK: Int): String = {
+    require(dims % m == 0, s"dims ($dims) must divide by m ($m)")
+    val d = dims / m
+    def assign(name: String, cents: String): String =
+      s"""$name AS (SELECT vec_id, s, sq, code FROM (
+         |  SELECT vec_id, s, sq, code,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+         |  FROM (SELECT v.vec_id, v.s, v.sq, c.code, ${qdist("v.sq", "c.sq")} AS dist
+         |        FROM qs v JOIN $cents c ON c.s = v.s)) WHERE rk = 1)""".stripMargin
+    def update(prev: String, asg: String, name: String): String =
+      s"""$name AS (SELECT p.s, p.code, COALESCE(u.qq, p.sq) AS sq
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT s, code, list(cv ORDER BY dim) AS qq FROM (
+         |      SELECT s, code, dim, (sv - ((sv % n + n) % n)) // n AS cv FROM (
+         |        SELECT a.s, a.code, g.i AS dim, SUM(a.sq[g.i]) AS sv, COUNT(*) AS n
+         |        FROM $asg a, generate_series(1, $d) AS g(i)
+         |        GROUP BY a.s, a.code, g.i))
+         |    GROUP BY s, code) u ON u.s = p.s AND u.code = p.code)""".stripMargin
+    val rounds = (1 to iters).map(t => assign(s"pa$t", s"pc${t - 1}") + ",\n" +
+      update(s"pc${t - 1}", s"pa$t", s"pc$t")).mkString(",\n")
+    s"""WITH qv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |mx AS (SELECT vec_id, ${mix64Cols("CAST(vec_id AS UBIGINT)", "m")} FROM embeddings),
+       |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY x.m) - 1 AS c, v.q
+       |          FROM (SELECT vec_id, m FROM mx ORDER BY m LIMIT $ks) x
+       |          JOIN qv v ON v.vec_id = x.vec_id),
+       |subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS s),
+       |qs AS (SELECT vec_id, s, q[s * $d + 1 : s * $d + $d] AS sq FROM qv, subs),
+       |pc0 AS (SELECT s, c AS code, q[s * $d + 1 : s * $d + $d] AS sq FROM seeds, subs),
+       |$rounds,
+       |${assign("pafin", s"pc$iters")},
+       |qsub AS (SELECT vec_id AS q_id, s, sq FROM qs WHERE vec_id < $nq),
+       |parts AS (SELECT q.q_id, c.vec_id AS id,
+       |    CAST(list_sum(list_transform(list_zip(q.sq, b.sq), x -> x[1] * x[2])) AS BIGINT) AS p
+       |  FROM pafin c JOIN pc$iters b ON b.s = c.s AND b.code = c.code
+       |  JOIN qsub q ON q.s = c.s
+       |  WHERE c.vec_id <> q.q_id),
+       |scored AS (SELECT q_id, id, CAST(SUM(p) AS BIGINT) AS score
+       |           FROM parts GROUP BY q_id, id)
+       |SELECT q_id, id, score, rank FROM (
+       |  SELECT q_id, id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, id) AS rank
+       |  FROM scored) WHERE rank <= $topK""".stripMargin
+  }
+
   /** q54: winnowing fingerprints (TextOps.winnowFingerprints, Schleimer et
     * al. SIGMOD'03) — word k-gram fp64 rolling hashes (the [[rollHash]]
     * replay, converted to SIGNED before the window min so the min order

@@ -299,6 +299,124 @@ object Ann {
     (scoreTopK(idx.join(broadcast(probed), "bucket"), k, scale), selected, total)
   }
 
+  /** Integer dot product of two already-quantized long-array columns. */
+  private def qdotCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Train product-quantization codebooks (Jégou, Douze & Schmid, TPAMI'11):
+    * the `dims`-dim quantized vector splits into `m` contiguous subspaces of
+    * `dims/m` dims each, and each subspace gets its own `ks`-centroid
+    * integer k-means codebook. Deterministic end-to-end: the SAME seed rows
+    * (the `ks` smallest by unsigned mix64(id), as in [[kmeansAssign]])
+    * seed every subspace (sliced), assignment ties go to the lowest code,
+    * centroid updates are floor-divided integer means — so training replays
+    * bit-identically in the DuckDB oracle.
+    *
+    * All `m` subspaces train in ONE loop: each Lloyd's round is a single
+    * corpus pass (codes for every subspace computed in one projection) plus
+    * one partial-aggregated shuffle on (subspace, code, dim) — m·ks·dims/m
+    * = ks·dims groups, driver state m·ks·(dims/m) = ks·dims longs. Returns
+    * the persisted quantized corpus and codebooks[s][c] (length dims/m).
+    */
+  private[operators] def pqTrain(
+      df: DataFrame, id: Column, emb: Column,
+      m: Int, ks: Int, iters: Int, scale: Int): (DataFrame, Array[Array[Array[Long]]]) = {
+    require(m >= 1 && ks >= 1 && iters >= 0 && scale >= 1,
+      s"pq: m ($m), ks ($ks), scale ($scale) must be >= 1, iters ($iters) >= 0")
+    val qv = df.select(id.as("id"), quantize(emb, scale).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheTracker.register(qv)
+    val seedRows = qv
+      .withColumn("__m", graft.functions.st.mix64(col("id")).bitwiseXOR(lit(Long.MinValue)))
+      .orderBy("__m").limit(ks)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    require(seedRows.nonEmpty, "pq: empty corpus")
+    val dims = seedRows(0).length
+    require(dims % m == 0, s"pq: dims ($dims) must divide into m ($m) subspaces")
+    val d = dims / m
+    var codebooks = Array.tabulate(m, seedRows.length) { (s, c) =>
+      seedRows(c).slice(s * d, s * d + d)
+    }
+    var it = 0
+    while (it < iters) {
+      val updated = pqCodeCols(qv, codebooks, d)
+        .select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), col(s"__c$s").as("code"),
+            slice(col("q"), s * d + 1, d).as("sq"))): _*)).as("e"))
+        .select(col("e.s"), col("e.code"), posexplode(col("e.sq")).as(Seq("dim", "v")))
+        .groupBy("s", "code", "dim")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("cv", fdiv(col("sv"), col("n")))
+        .groupBy("s", "code")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("cv")))),
+          p => p.getField("cv")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1).toInt) -> r.getSeq[Long](2).toArray)
+        .toMap
+      codebooks = Array.tabulate(m, codebooks(0).length) { (s, c) =>
+        updated.getOrElse((s, c), codebooks(s)(c))
+      }
+      it += 1
+    }
+    (qv, codebooks)
+  }
+
+  /** Per-subspace nearest-code columns `__c0..__c{m-1}` over a quantized
+    * frame — exact integer squared-L2, ties to the lowest code (the same
+    * argmin idiom as [[assignPass]], per subspace). */
+  private def pqCodeCols(qv: DataFrame, codebooks: Array[Array[Array[Long]]],
+      d: Int): DataFrame =
+    codebooks.indices.foldLeft(qv) { (df, s) =>
+      df.withColumn(s"__d$s", array(codebooks(s).map(c =>
+          qDist(slice(col("q"), s * d + 1, d), c)): _*))
+        .withColumn(s"__c$s",
+          expr(s"array_position(__d$s, array_min(__d$s))").cast("long") - 1)
+        .drop(s"__d$s")
+    }
+
+  /** Encode a quantized frame to (id, codes): codes[s] = the subspace-s
+    * nearest code — dims longs compress to m bytes' worth of codes, the
+    * memory shape that makes billion-vector scans feasible. */
+  private[operators] def pqEncode(qv: DataFrame, codebooks: Array[Array[Array[Long]]],
+      d: Int): DataFrame = {
+    val m = codebooks.length
+    pqCodeCols(qv, codebooks, d)
+      .select(col("id"), array((0 until m).map(s => col(s"__c$s")): _*).as("codes"))
+  }
+
+  /** PQ top-k by asymmetric-distance computation (ADC): the corpus is
+    * scanned as m-byte CODES (never reconstructed), each query scores a
+    * code row as Σ_s q_sub(s) · codebook[s][codes[s]] — the exact integer
+    * dot product against the RECONSTRUCTION, so the score error is the
+    * quantization error, never float noise. Codebooks embed as per-subspace
+    * literal arrays (ks·dims longs — broadcast-free); queries broadcast;
+    * the only shuffle is the final per-query top-k. Approximation quality
+    * vs [[bruteTopK]] is recall-pinned in the spec; determinism (ties by
+    * id) makes the result oracle-checkable like q30/q31: the DuckDB replay
+    * re-runs training, encoding, and ADC bit-identically. */
+  def pqTopK(
+      corpus: DataFrame, id: Column, emb: Column,
+      queries: DataFrame, qId: Column, qEmb: Column,
+      k: Int, m: Int = 8, ks: Int = 16, iters: Int = 1,
+      scale: Int = 1000): DataFrame = {
+    val (qv, codebooks) = pqTrain(corpus, id, emb, m, ks, iters, scale)
+    val d = codebooks(0)(0).length
+    val codes = pqEncode(qv, codebooks, d)
+    val q = queries.select(qId.as("q_id"), quantize(qEmb, scale).as("qq"))
+    val score = (0 until m).map { s =>
+      val lut = array(codebooks(s).map(c => array(c.map(lit): _*)): _*)
+      qdotCols(slice(col("qq"), s * d + 1, d),
+        element_at(lut, (element_at(col("codes"), s + 1) + 1).cast("int")))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "id", "score", "rank")
+  }
+
   /** IVF-style ANN: corpus pre-assigned to `nBuckets` coarse buckets by
     * hyperplane-sig prefix; each query scores only its own bucket. Recall
     * grows with `probes` (multi-probe = flip low bits). Exact within bucket.

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+
+/** Pins [[Ann.pqTopK]] (product quantization, Jégou et al. TPAMI'11):
+  * the ADC score is EXACTLY the integer dot product against the codebook
+  * reconstruction, recall improves monotonically with codebook capacity,
+  * and output is bit-deterministic across input partitionings. The
+  * training/encode/score replay itself is oracle-gated (q55).
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("ADC score == exact dot product against the codebook reconstruction") {
+    val (qv, cbs) = Ann.pqTrain(emb, col("vec_id"), col("embedding"),
+      m = 8, ks = 16, iters = 1, scale = 1000)
+    val d = cbs(0)(0).length
+    // reconstruction per corpus row: concat of its codes' centroids
+    val recon = Ann.pqEncode(qv, cbs, d).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Long](1).zipWithIndex.flatMap { case (c, s) => cbs(s)(c.toInt) }.toArray)
+      .toMap
+    val queries = qv.filter(col("id") < 10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    CacheTracker.releaseAll()
+
+    val got = Ann.pqTopK(emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        k = 10, m = 8, ks = 16, iters = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    CacheTracker.releaseAll()
+    assert(got.nonEmpty)
+    got.foreach { case ((qid, id), score) =>
+      val expected = queries(qid).zip(recon(id)).map { case (a, b) => a * b }.sum
+      assert(score == expected, s"ADC score for ($qid,$id): $score != $expected")
+    }
+  }
+
+  test("recall vs brute grows with codebook capacity (m up, ks up)") {
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Ann.bruteTopK(emb, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), 10)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    def recall(m: Int, ks: Int): Double = {
+      val pq = Ann.pqTopK(emb, col("vec_id"), col("embedding"),
+          q, col("vec_id"), col("embedding"), 10, m = m, ks = ks, iters = 1)
+        .select("q_id", "id").as[(Long, Long)].collect().toSet
+      CacheTracker.releaseAll()
+      (brute & pq).size.toDouble / brute.size
+    }
+    val r8 = recall(8, 16); val r32 = recall(32, 32)
+    // measured on this corpus: 0.22 and 0.76 — these embeddings are
+    // near-uniform (PQ's worst case), so the CURVE is the contract:
+    // finer codebooks must recover substantially more of the true top-k
+    assert(r32 >= 0.6, s"m=32,ks=32 recall $r32 < 0.6")
+    assert(r32 > r8 + 0.2, s"recall did not grow with capacity: $r8 -> $r32")
+  }
+
+  test("pqTopK is bit-deterministic across input partitionings") {
+    def run(parts: Int): Seq[(Long, Long, Long, Long)] =
+      try Ann.pqTopK(emb.repartition(parts), col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+          k = 10, m = 8, ks = 16, iters = 1)
+        .orderBy("q_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      finally CacheTracker.releaseAll()
+    assert(run(2) == run(8))
+  }
+}
