@@ -112,6 +112,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming hopping windows: TimeOps.hoppingAgg == batch (AvailableNow)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = Files.createTempDirectory("graft_hop_stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"), streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // hoppingAgg builds on native window(ts, len, slide) — the operator
+    // Structured Streaming runs stateful, so batch/streaming must agree
+    val agg = graft.operators.TimeOps.hoppingAgg(
+      stream, "ts", "6 hours", "2 hours", Seq("event_type"), "value")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_hop_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM graft_hop_out")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.TimeOps.hoppingAgg(
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", col("ts").cast("timestamp")),
+        "ts", "6 hours", "2 hours", Seq("event_type"), "value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming geofence: stream-static PIP join == batch (spatial core on a stream)") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.operators.SpatialOps
