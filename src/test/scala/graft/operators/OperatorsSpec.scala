@@ -668,12 +668,17 @@ class DedupAnnSpec extends AnyFunSuite {
       assert(got == unionFind(edges), s"seed $seed star mismatch")
       CacheTracker.releaseAll()
     }
-    // a 200-node path (diameter 199): label propagation inside its bound
-    // THROWS rather than returning a partial closure; "auto" falls back to
-    // star contraction (O(log²) rounds) and returns the exact closure
+    // a 200-node path (diameter 199): pointer-jumping label propagation
+    // converges in O(log d) passes — 10 suffice where the pre-shortcut
+    // engine needed 200 — and still THROWS (never a partial closure) when
+    // the bound is genuinely too small (4 passes cover distance 31 < 199)
     val path = (0L until 199L).map(i => (i, i + 1))
+    val lab = Dedup.connectedComponents(path.toDF("ia", "ib"), col("ia"), col("ib"),
+      maxIters = 10).as[(Long, Long)].collect().toMap
+    assert(lab == (0L to 199L).map(_ -> 0L).toMap)
+    CacheTracker.releaseAll()
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(path.toDF("ia", "ib"), col("ia"), col("ib"), maxIters = 10)
+      Dedup.connectedComponents(path.toDF("ia", "ib"), col("ia"), col("ib"), maxIters = 4)
     }
     CacheTracker.releaseAll()
     val auto = Dedup.connectedComponents(path.toDF("ia", "ib"), col("ia"), col("ib"),
