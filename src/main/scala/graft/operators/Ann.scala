@@ -417,6 +417,48 @@ object Ann {
       .select("q_id", "id", "score", "rank")
   }
 
+  /** IVF-PQ: coarse k-means clusters prune the corpus (as in
+    * [[ivfKmeansTopK]]), and inside the probed clusters rows are scored
+    * from PQ CODES by ADC (as in [[pqTopK]]) — the composition that makes
+    * billion-vector search feasible: the scan touches `probes/kClusters`
+    * of the corpus and reads m small codes per row instead of the full
+    * vector. Both trainings are the deterministic integer loops, so the
+    * result is exactly [[pqTopK]]'s ADC ranking restricted to the probed
+    * clusters (spec-pinned) — which is why this variant needs no separate
+    * oracle: coarse pruning is q31's oracle-gated machinery, ADC scoring
+    * is q55's. */
+  def ivfPqTopK(
+      corpus: DataFrame, id: Column, emb: Column,
+      queries: DataFrame, qId: Column, qEmb: Column,
+      k: Int, kClusters: Int = 8, coarseIters: Int = 2, probes: Int = 3,
+      m: Int = 8, ks: Int = 16, pqIters: Int = 1,
+      scale: Int = 1000): DataFrame = {
+    val (qvCoarse, coarse) = trainCentroids(corpus, id, emb, kClusters, coarseIters, scale)
+    val (qv, codebooks) = pqTrain(corpus, id, emb, m, ks, pqIters, scale)
+    qvCoarse.unpersist()
+    val d = codebooks(0)(0).length
+    // one corpus pass computes BOTH the coarse bucket and the PQ codes
+    val bucketed = assignPass(qv, coarse)
+      .select(col("id"), col("q"), col("cluster").as("bucket"))
+    val codes = pqCodeCols(bucketed, codebooks, d)
+      .select(col("id"), col("bucket"),
+        array((0 until m).map(s => col(s"__c$s")): _*).as("codes"))
+    val probed = probeClusters(queries, qId, qEmb, coarse, probes, scale)
+      .withColumn("qq", quantize(col("q_emb"), scale))
+    val score = (0 until m).map { s =>
+      val lut = array(codebooks(s).map(c => array(c.map(lit): _*)): _*)
+      qdotCols(slice(col("qq"), s * d + 1, d),
+        element_at(lut, (element_at(col("codes"), s + 1) + 1).cast("int")))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
+    codes.join(broadcast(probed), "bucket")
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "id", "score", "rank")
+  }
+
   /** IVF-style ANN: corpus pre-assigned to `nBuckets` coarse buckets by
     * hyperplane-sig prefix; each query scores only its own bucket. Recall
     * grows with `probes` (multi-probe = flip low bits). Exact within bucket.

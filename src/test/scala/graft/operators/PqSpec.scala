@@ -61,6 +61,44 @@ class PqSpec extends AnyFunSuite {
     assert(r32 > r8 + 0.2, s"recall did not grow with capacity: $r8 -> $r32")
   }
 
+  test("ivfPqTopK == pqTopK ADC ranking restricted to the probed clusters") {
+    val q = emb.filter(col("vec_id") < 10)
+    // probes = kClusters makes pruning a no-op: IVF-PQ must then equal the
+    // exhaustive ADC scan exactly (same trainings, same scores, same ties)
+    val full = Ann.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"),
+        k = 10, kClusters = 8, probes = 8, m = 8, ks = 16, pqIters = 1)
+      .collect().map(_.toSeq).toSet
+    CacheTracker.releaseAll()
+    val adc = Ann.pqTopK(emb, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 10, m = 8, ks = 16, iters = 1)
+      .collect().map(_.toSeq).toSet
+    CacheTracker.releaseAll()
+    assert(full == adc)
+
+    // real pruning: every returned row must score identically to the
+    // exhaustive ADC scan (pruning changes WHICH rows are seen, never how
+    // any row scores), and overlap with the unpruned ranking is substantial
+    val pruned = Ann.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"),
+        k = 10, kClusters = 8, probes = 3, m = 8, ks = 16, pqIters = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    CacheTracker.releaseAll()
+    val adcAll = Ann.pqTopK(emb, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 500, m = 8, ks = 16, iters = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    CacheTracker.releaseAll()
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (key, score) =>
+      assert(adcAll(key) == score, s"score mismatch for $key")
+    }
+    val overlap = pruned.map(_._1).count { case (qid, id) =>
+      adcAll.toSeq.filter(_._1._1 == qid).sortBy(p => (-p._2, p._1._2))
+        .take(10).exists(_._1 == (qid, id))
+    }
+    assert(overlap >= pruned.length / 3, s"probed overlap $overlap/${pruned.length}")
+  }
+
   test("pqTopK is bit-deterministic across input partitionings") {
     def run(parts: Int): Seq[(Long, Long, Long, Long)] =
       try Ann.pqTopK(emb.repartition(parts), col("vec_id"), col("embedding"),
