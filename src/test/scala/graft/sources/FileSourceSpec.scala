@@ -139,6 +139,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming sessionization: emitted sessions == their batch counterparts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // two time-ordered micro-batch files: the second advances the
+    // watermark past the first's sessions so they emit in append mode
+    val cut = all.selectExpr("percentile_approx(ts, 0.5)").head.getTimestamp(0)
+    val streamDir = Files.createTempDirectory("graft_sess_stream")
+    all.filter(col("ts") <= cut).coalesce(1)
+      .write.parquet(streamDir.resolve("a").toString)
+    all.filter(col("ts") > cut).coalesce(1)
+      .write.parquet(streamDir.resolve("b").toString)
+    val schema = spark.read.parquet(streamDir.resolve("a").toString).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString + "/*")
+      .withWatermark("ts", "1 hour")
+    val sess = graft.operators.TimeOps.sessionize(
+      stream, Seq("user_id"), "ts", gap = "4 hours", value = "value")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("graft_sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM graft_sess_out")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.TimeOps.sessionize(
+        all, Seq("user_id"), "ts", gap = "4 hours", value = "value")
+      .collect().map(_.toSeq).toSet
+    // append mode only emits sessions the final watermark has closed —
+    // every emitted session must be byte-identical to its batch
+    // counterpart (same bounds, count, exact decimal sum), and the
+    // early-half sessions must actually have emitted
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions diverge from batch: ${(streamed -- batch).take(3)}")
+    assert(streamed.size >= batch.size / 4,
+      s"only ${streamed.size}/${batch.size} sessions emitted")
+  }
+
   test("streaming geofence: stream-static PIP join == batch (spatial core on a stream)") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.operators.SpatialOps
