@@ -1128,6 +1128,23 @@ object EntryQueries {
   }
   def q55Sql: String = OracleSqlGen.q55Sql(8, 16, 1, 64, 5, 10)
 
+  /** Exact distributed quantiles ([[TextOps.quantiles]]): per-source
+    * p10/p50/p90/p99 of document length — the filter-threshold calibration
+    * statistic, as exact order statistics (percentile_approx is
+    * estimate-only and engine-varying; the rank formulation replays
+    * bit-identically). */
+  def q56Quantiles(s: SparkSession, dir: String): DataFrame =
+    TextOps.quantiles(t(s, dir, "documents"), col("source"), col("n_chars"),
+      col("doc_id"), Seq(1000, 5000, 9000, 9900))
+  val q56Sql: String =
+    """WITH r AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v, doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rnk,
+      |  COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT grp, CAST(pct_bp AS BIGINT) AS pct_bp, v AS value FROM r,
+      |  unnest([1000, 5000, 9000, 9900]) AS t(pct_bp)
+      |WHERE rnk = (pct_bp * n + 9999) // 10000""".stripMargin
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1194,7 +1211,8 @@ object EntryQueries {
     "q52_repetition" -> (q52RepStats _, q52Sql),
     "q53_hopping" -> (q53Hopping _, q53Sql),
     "q54_winnow" -> (q54Winnow _, q54Sql),
-    "q55_pq_ann" -> (q55PqTopK _, q55Sql))
+    "q55_pq_ann" -> (q55PqTopK _, q55Sql),
+    "q56_quantiles" -> (q56Quantiles _, q56Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

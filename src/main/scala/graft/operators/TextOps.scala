@@ -158,6 +158,39 @@ object TextOps {
   def fingerprint(text: Column, prefixLen: Int = 256): Column =
     graft.functions.st.fp64(text, prefixLen)
 
+  /** EXACT distributed quantiles of an integer measure per group — the
+    * calibration statistic behind every length/quality filter threshold
+    * ("drop docs below the p10 of their source"). `percentile_approx` is
+    * estimate-only; this is the exact order statistic, computed as one
+    * per-group window rank + per-group count (one hash shuffle on the
+    * group key, no sort beyond within-group, no driver collect) and a
+    * semi-join-free filter: row at rank ⌈p·n⌉ (ties to the lowest id =
+    * the classic lower discrete quantile on the (value, id) total order).
+    * Percentiles are integer basis points (e.g. 5000 = p50) — the
+    * thresholds replay bit-identically in any engine.
+    *
+    * Skew note: one window partition per group — for a single giant group
+    * use [[graft.operators.Mixing]]'s shardKey + a two-level rank (the
+    * q38 globalOrder recipe); source-sized groups don't need it. */
+  def quantiles(df: DataFrame, group: Column, value: Column, id: Column,
+                percentilesBp: Seq[Int]): DataFrame = {
+    require(percentilesBp.nonEmpty && percentilesBp.forall(p => p >= 1 && p <= 10000),
+      "percentiles are basis points in [1, 10000]")
+    val w = Window.partitionBy("grp").orderBy(col("v").asc, col("rid").asc)
+    val ranked = df.select(group.as("grp"), value.cast("long").as("v"),
+        id.cast("long").as("rid"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+    // ceil(p·n/10000) without floats: (p·n + 9999) div 10000. One row per
+    // requested percentile, matched in a SINGLE pass over the ranked frame
+    // (a union of per-percentile filters would re-run the window k times)
+    val matched = array(percentilesBp.distinct.sorted.map(p =>
+      when(col("rnk") === expr(s"($p * n + 9999) div 10000"), lit(p.toLong))): _*)
+    ranked
+      .withColumn("pct_bp", explode(filter(matched, x => x.isNotNull)))
+      .select(col("grp"), col("pct_bp"), col("v").as("value"))
+  }
+
   /** (doc_id, pos, gram) for every word n-gram: tokens are the lowercased
     * single-space split (matching [[topTokens]]/[[tfIdfTopTerms]]), `pos` is
     * the 0-based token position of the gram's first word — contiguous

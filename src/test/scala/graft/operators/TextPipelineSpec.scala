@@ -90,6 +90,26 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(short.nonEmpty && short.forall(id => got(id).size == 1))
   }
 
+  test("quantiles == sorted-list order statistics (exact, incl. tiny groups)") {
+    val rows = (0 until 157).map { i =>
+      (i.toLong, s"g${i % 7}", ((i * 9973) % 400).toLong)
+    }
+    val df = rows.toDF("id", "grp", "len")
+    val ps = Seq(1, 1000, 5000, 9000, 10000)
+    val got = TextOps.quantiles(df, col("grp"), col("len"), col("id"), ps)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exp = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1)).map(_._3)
+      ps.map(p => (g, p.toLong) -> sorted((p * sorted.length + 9999) / 10000 - 1))
+    }
+    assert(got == exp)
+    // p10000 is the max, p1 the min of each group
+    rows.groupBy(_._2).foreach { case (g, rs) =>
+      assert(got((g, 10000L)) == rs.map(_._3).max)
+      assert(got((g, 1L)) == rs.map(_._3).min)
+    }
+  }
+
   test("winnowing guarantee: docs sharing a >= k+w-1 token run share a fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = k+w-1
     val rows = Seq(
