@@ -1145,6 +1145,15 @@ object EntryQueries {
       |  unnest([1000, 5000, 9000, 9900]) AS t(pct_bp)
       |WHERE rnk = (pct_bp * n + 9999) // 10000""".stripMargin
 
+  /** BPE tokenizer training ([[TextOps.bpeTrain]], 6 merges): the corpus
+    * trains its own tokenizer — word histogram once, then vocabulary-sized
+    * merge rounds. Oracle recomputes every round's winner in SQL, pinning
+    * the whole data-dependent training trajectory (the q30/q55 contract
+    * applied to a tokenizer). */
+  def q57Bpe(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrain(t(s, dir, "documents"), col("text"), merges = 6)
+  def q57Sql: String = OracleSqlGen.q57Sql(6)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1212,7 +1221,8 @@ object EntryQueries {
     "q53_hopping" -> (q53Hopping _, q53Sql),
     "q54_winnow" -> (q54Winnow _, q54Sql),
     "q55_pq_ann" -> (q55PqTopK _, q55Sql),
-    "q56_quantiles" -> (q56Quantiles _, q56Sql))
+    "q56_quantiles" -> (q56Quantiles _, q56Sql),
+    "q57_bpe" -> (q57Bpe _, q57Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

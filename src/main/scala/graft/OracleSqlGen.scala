@@ -896,6 +896,42 @@ object OracleSqlGen {
        |  FROM scored) WHERE rank <= $topK""".stripMargin
   }
 
+  /** q57: full replay of the BPE tokenizer trainer (TextOps.bpeTrain,
+    * Sennrich et al. ACL'16): word histogram → char symbols + `</w>` →
+    * `k` chained rounds of (pair count, argmax by (n DESC, a, b) LIMIT 1,
+    * left-to-right merge rewrite). The merge rewrite is a list_reduce fold
+    * with a VARCHAR[] accumulator that looks BACK at the last emitted
+    * symbol — exactly [[graft.operators.TextOps]]'s mergeFold — and every
+    * round's winner is recomputed in SQL (not embedded), so the replay
+    * pins the whole data-dependent training trajectory. */
+  def q57Sql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (SELECT pr[1] AS a, pr[2] AS b, SUM(cnt) AS n
+         |  FROM (SELECT list_transform(generate_series(1, len(syms) - 1),
+         |                i -> [syms[i], syms[i + 1]]) AS prs, cnt FROM w${r - 1}),
+         |       unnest(prs) AS u(pr)
+         |  GROUP BY a, b),
+         |win$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |w$r AS (SELECT list_reduce(
+         |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+         |    (acc, e) -> CASE WHEN len(acc) > 0 AND acc[-1] = win.a AND e[1] = win.b
+         |      THEN list_append(acc[1:len(acc) - 1], win.a || win.b)
+         |      ELSE list_append(acc, e[1]) END) AS syms, cnt
+         |  FROM w${r - 1}, win$r win)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a, b, a || b AS merged, CAST(n AS BIGINT) AS n FROM win$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT lower(tok) AS w FROM documents,
+       |    unnest(string_split(text, ' ')) AS u(tok) WHERE len(tok) > 0),
+       |w0 AS (SELECT list_append(
+       |    list_transform(generate_series(1, len(w)), i -> substring(w, i, 1)),
+       |    '</w>') AS syms, COUNT(*) AS cnt
+       |  FROM toks GROUP BY w),
+       |$rounds
+       |$unions""".stripMargin
+  }
+
   /** q54: winnowing fingerprints (TextOps.winnowFingerprints, Schleimer et
     * al. SIGMOD'03) — word k-gram fp64 rolling hashes (the [[rollHash]]
     * replay, converted to SIGNED before the window min so the min order

@@ -152,6 +152,98 @@ object TextOps {
       .otherwise(lit("other"))
   }
 
+  /** One left-to-right BPE merge of the adjacent symbol pair (a, b): fold
+    * over the symbol array, looking BACK at the last emitted symbol — after
+    * a merge the tail becomes "ab" ≠ "a", so overlapping merges ("aaaa"
+    * with pair (a,a) → "aa","aa") resolve greedily left-to-right with no
+    * skip flag. Builtins only (aggregate/slice/element_at — codegen'd). */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (out, x) =>
+        when(size(out) > 0 && element_at(out, -1) === lit(a) && x === lit(b),
+          concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
+          .otherwise(concat(out, array(x))))
+
+  /** Character symbols of a word plus the end-of-word marker — the classic
+    * BPE initial state (word-final merges stay distinct from mid-word). */
+  private def charSyms(w: Column): Column =
+    concat(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+      array(lit("</w>")))
+
+  /** Adjacent symbol pairs of a symbol array (empty for a lone symbol —
+    * guarded because Spark's sequence(0, -1) DESCENDS rather than being
+    * empty). */
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(0), size(syms) - 2), i =>
+        struct(element_at(syms, i + 1).as("a"), element_at(syms, i + 2).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
+  /** Train a byte-pair-encoding tokenizer on the corpus (Sennrich, Haddow
+    * & Birch, ACL'16): start from character symbols (+ the `</w>`
+    * end-of-word marker), then `merges` times merge the corpus-wide
+    * most-frequent adjacent symbol pair. Returns the ordered merge table
+    * (round, a, b, merged, n) — the trained tokenizer artifact.
+    *
+    * Distributed shape: ONE corpus shuffle builds the word histogram
+    * (map-side combined count — the classic wordpiece trick: BPE statistics
+    * only need per-WORD counts, so all further rounds run on the
+    * vocabulary-sized state, not the corpus). Each round is one
+    * vocabulary-sized pair aggregation + a 1-row argmax collect + a
+    * map-only merge rewrite, `localCheckpoint` per round (the iterative-
+    * plan-nesting rule). The driver holds k·3 strings — nothing
+    * corpus-sized. Determinism: argmax orders by (count desc, a, b) —
+    * binary string order, identical in the DuckDB replay (ASCII corpus).
+    *
+    * Requires at least `merges` rounds' worth of pairs (a corpus that
+    * fully collapses earlier throws rather than silently under-training).
+    */
+  def bpeTrain(df: DataFrame, text: Column, merges: Int): DataFrame = {
+    require(merges >= 1, "merges must be >= 1")
+    val spark = df.sparkSession
+    val wh = df
+      .select(explode(filter(split(lower(text), " "), t => length(t) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(charSyms(col("w")).as("syms"), col("cnt"))
+    var state = wh.localCheckpoint(true)
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    while (r <= merges) {
+      val win = state
+        .select(explode(adjacentPairs(col("syms"))).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      require(win.nonEmpty,
+        s"bpeTrain: corpus fully merged after ${r - 1} rounds — lower `merges`")
+      val (a, b, n) = (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+      out += ((r.toLong, a, b, a + b, n))
+      val next = state.select(mergeFold(col("syms"), a, b).as("syms"), col("cnt"))
+        .localCheckpoint(true)
+      state.unpersist()
+      state = next
+      r += 1
+    }
+    state.unpersist()
+    import spark.implicits._
+    out.result().toDF("round", "a", "b", "merged", "n")
+  }
+
+  /** Apply a trained merge list to text: per word, char symbols + `</w>`,
+    * then each merge in training order — the BPE ENCODER for the
+    * [[bpeTrain]] artifact. Returns the array of token arrays (one per
+    * word). Builtins only; the k merge folds nest as expressions, so the
+    * whole encode stays codegen-side with zero joins. */
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
+    transform(
+      filter(split(lower(text), " "), t => length(t) > 0),
+      w => merges.foldLeft(charSyms(w)) { case (syms, (a, b)) => mergeFold(syms, a, b) })
+
+  /** Token count under a trained BPE merge list. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    aggregate(bpeSegment(text, merges), lit(0L), (acc, ts) => acc + size(ts))
+
   /** Rolling polynomial document fingerprint: h = h·31 + char over the first
     * `prefixLen` chars (wrapping 64-bit arithmetic via the fp64 kernel
     * expression — a builtin fold would trip ANSI overflow checks). */

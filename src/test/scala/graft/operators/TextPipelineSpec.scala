@@ -110,6 +110,62 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  /** Sequential reference BPE: same contract as the distributed trainer. */
+  private def refBpe(texts: Seq[String], k: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(_.toLowerCase.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector :+ "</w>") -> ws.size.toLong
+      }
+    (1 to k).map { _ =>
+      val counts = words.toSeq.flatMap { case (syms, cnt) =>
+        syms.zip(syms.tail).map(p => p -> cnt)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      words = words.toSeq.map { case (syms, cnt) =>
+        val out = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+        out -> cnt
+      }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      (a, b, n)
+    }
+  }
+
+  test("bpeTrain == sequential reference BPE; bpeSegment applies the merges") {
+    val texts = corpus(80).map(_._2) ++ Seq("aaaa aaaa aa", "the the the then")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val k = 5
+    val got = TextOps.bpeTrain(df, col("text"), merges = k)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == refBpe(texts, k))
+
+    // encoder: re-merging each word with the trained list reproduces the
+    // reference segmentation, incl. the overlapping-pair word "aaaa"
+    val merges = got.map(p => (p._1, p._2)).toSeq
+    val seg = df.select(col("doc_id"), TextOps.bpeSegment(col("text"), merges).as("s"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[String]](1).map(_.toVector).toVector)
+      .toMap
+    val refSeg = (w: String) =>
+      merges.foldLeft(w.map(_.toString).toVector :+ "</w>") { case (syms, (a, b)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val words = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      assert(seg(i.toLong) == words.map(refSeg).toVector, s"doc $i")
+    }
+    // token count matches the segmentation sizes
+    val cnt = df.select(TextOps.bpeTokenCount(col("text"), merges)).collect().map(_.getLong(0)).sum
+    assert(cnt == seg.values.map(_.map(_.size).sum).sum)
+  }
+
   test("winnowing guarantee: docs sharing a >= k+w-1 token run share a fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = k+w-1
     val rows = Seq(
