@@ -1154,6 +1154,24 @@ object EntryQueries {
     TextOps.bpeTrain(t(s, dir, "documents"), col("text"), merges = 6)
   def q57Sql: String = OracleSqlGen.q57Sql(6)
 
+  /** BPE encoding ([[TextOps.bpeSegment]]): train the tokenizer (same 6
+    * merges as q57 — the collected artifact is 6 string pairs, nothing
+    * corpus-sized), then ENCODE every document with it as pure nested
+    * expressions (zero joins on the encode side) and report per-document
+    * token counts. Oracle retrains via the shared q57 CTE chain and joins
+    * words to the final segmentation — no constants embedded anywhere. */
+  def q58BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = TextOps.bpeTrain(docs, col("text"), merges = 6)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        TextOps.bpeTokenCount(col("text"), merges).as("n_tokens"),
+        size(filter(split(lower(col("text")), " "), t => length(t) > 0))
+          .cast("long").as("n_words"))
+      .where(col("n_words") > 0)
+  }
+  def q58Sql: String = OracleSqlGen.q58Sql(6)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1222,7 +1240,8 @@ object EntryQueries {
     "q54_winnow" -> (q54Winnow _, q54Sql),
     "q55_pq_ann" -> (q55PqTopK _, q55Sql),
     "q56_quantiles" -> (q56Quantiles _, q56Sql),
-    "q57_bpe" -> (q57Bpe _, q57Sql))
+    "q57_bpe" -> (q57Bpe _, q57Sql),
+    "q58_bpe_encode" -> (q58BpeEncode _, q58Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

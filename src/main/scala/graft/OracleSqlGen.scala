@@ -905,6 +905,18 @@ object OracleSqlGen {
     * round's winner is recomputed in SQL (not embedded), so the replay
     * pins the whole data-dependent training trajectory. */
   def q57Sql(k: Int): String = {
+    val unions = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a, b, a || b AS merged, CAST(n AS BIGINT) AS n FROM win$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtes(k)}
+       |$unions""".stripMargin
+  }
+
+  /** Shared BPE training CTE chain for q57/q58: toks → w0 (word histogram
+    * with char symbols + `</w>`) → k rounds of (pair count p_r, 1-row
+    * argmax win_r, merged state w_r). The word key `w` rides through every
+    * w_r so q58 can join documents back to the FINAL segmentation. */
+  private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS (SELECT pr[1] AS a, pr[2] AS b, SUM(cnt) AS n
          |  FROM (SELECT list_transform(generate_series(1, len(syms) - 1),
@@ -912,25 +924,35 @@ object OracleSqlGen {
          |       unnest(prs) AS u(pr)
          |  GROUP BY a, b),
          |win$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-         |w$r AS (SELECT list_reduce(
+         |w$r AS (SELECT w, list_reduce(
          |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
          |    (acc, e) -> CASE WHEN len(acc) > 0 AND acc[-1] = win.a AND e[1] = win.b
          |      THEN list_append(acc[1:len(acc) - 1], win.a || win.b)
          |      ELSE list_append(acc, e[1]) END) AS syms, cnt
          |  FROM w${r - 1}, win$r win)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to k).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, a, b, a || b AS merged, CAST(n AS BIGINT) AS n FROM win$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH toks AS (SELECT lower(tok) AS w FROM documents,
+    s"""toks AS (SELECT lower(tok) AS w FROM documents,
        |    unnest(string_split(text, ' ')) AS u(tok) WHERE len(tok) > 0),
-       |w0 AS (SELECT list_append(
+       |w0 AS (SELECT w, list_append(
        |    list_transform(generate_series(1, len(w)), i -> substring(w, i, 1)),
        |    '</w>') AS syms, COUNT(*) AS cnt
        |  FROM toks GROUP BY w),
-       |$rounds
-       |$unions""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** q58: BPE ENCODING replay — train exactly as q57 (the shared CTE
+    * chain recomputes every merge winner from the data), then join each
+    * document's words to the FINAL per-word segmentation w_k and sum
+    * symbol counts: per-document BPE token counts under the trained
+    * tokenizer, with zero constants embedded on either engine. */
+  def q58Sql(k: Int): String =
+    s"""WITH ${bpeCtes(k)},
+       |doctoks AS (SELECT doc_id, lower(tok) AS w FROM documents,
+       |    unnest(string_split(text, ' ')) AS u(tok) WHERE len(tok) > 0)
+       |SELECT d.doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words
+       |FROM doctoks d JOIN w$k s USING (w)
+       |GROUP BY d.doc_id""".stripMargin
 
   /** q54: winnowing fingerprints (TextOps.winnowFingerprints, Schleimer et
     * al. SIGMOD'03) — word k-gram fp64 rolling hashes (the [[rollHash]]
