@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.st
-import graft.operators.{Ann, Dedup, Mixing, SpatialOps, TextOps, TimeOps}
+import graft.operators.{Ann, Dedup, Mixing, Sketch, SpatialOps, TextOps, TimeOps}
 import graft.sources.ImageTable
 
 /** The operator-coverage query suite behind [[SparkEntry]].
@@ -1172,6 +1172,17 @@ object EntryQueries {
   }
   def q58Sql: String = OracleSqlGen.q58Sql(6)
 
+  /** KMV cardinality sketch ([[Sketch.kmvDistinct]]): per-source vocabulary
+    * estimate over the documents' tokens — a bounded-state
+    * TypedImperativeAggregate (one ≤k·8-byte state per group shuffles, never
+    * the distinct values), exact-integer estimate, full DuckDB replay. */
+  def q59Kmv(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("source"),
+      explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("w"))
+    Sketch.kmvDistinct(toks, col("source"), col("w"), k = 128)
+  }
+  def q59Sql: String = OracleSqlGen.q59Sql(128)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1241,7 +1252,8 @@ object EntryQueries {
     "q55_pq_ann" -> (q55PqTopK _, q55Sql),
     "q56_quantiles" -> (q56Quantiles _, q56Sql),
     "q57_bpe" -> (q57Bpe _, q57Sql),
-    "q58_bpe_encode" -> (q58BpeEncode _, q58Sql))
+    "q58_bpe_encode" -> (q58BpeEncode _, q58Sql),
+    "q59_distinct_sketch" -> (q59Kmv _, q59Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

@@ -954,6 +954,32 @@ object OracleSqlGen {
        |FROM doctoks d JOIN w$k s USING (w)
        |GROUP BY d.doc_id""".stripMargin
 
+  /** q59: KMV distinct-count sketch replay (Sketch.kmvDistinct) — tokens
+    * hashed by the rollHash + staged mix64 kernels, then per group the k-th
+    * smallest DISTINCT hash in unsigned order (UBIGINT ascending IS unsigned
+    * order) feeds the exact-integer estimate ⌊(k−1)·2^64 / kth⌋ in HUGEINT
+    * floor division — [[graft.core.Kernels.kmvEst]] bit-for-bit, including
+    * the Long.MaxValue cap and the divisor clamp. Groups with fewer than k
+    * distinct hashes report their exact count (the sketch is lossless
+    * there), matched by taking the row at rank LEAST(cnt, k). */
+  def q59Sql(k: Int): String =
+    s"""WITH toks AS (SELECT source, lower(tok) AS w FROM documents,
+       |    unnest(string_split(text, ' ')) AS u(tok) WHERE len(tok) > 0),
+       |fs AS (SELECT source, ${rollHash("w")} AS f FROM toks),
+       |mx AS (SELECT source,
+       |  ${mix64Cols("f", "h")}
+       |  FROM fs),
+       |d AS (SELECT DISTINCT source, h FROM mx),
+       |r AS (SELECT source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk,
+       |    COUNT(*) OVER (PARTITION BY source) AS cnt FROM d)
+       |SELECT source AS grp, CAST(LEAST(cnt, $k) AS BIGINT) AS n_kept,
+       |  CAST(CASE WHEN cnt < $k THEN CAST(cnt AS HUGEINT)
+       |    ELSE LEAST(CAST(${k - 1} AS HUGEINT) * CAST(18446744073709551616 AS HUGEINT)
+       |      // GREATEST(CAST(h AS HUGEINT), CAST(1 AS HUGEINT)),
+       |      CAST(9223372036854775807 AS HUGEINT)) END AS BIGINT) AS est_distinct
+       |FROM r WHERE rnk = LEAST(cnt, $k)""".stripMargin
+
   /** q54: winnowing fingerprints (TextOps.winnowFingerprints, Schleimer et
     * al. SIGMOD'03) — word k-gram fp64 rolling hashes (the [[rollHash]]
     * replay, converted to SIGNED before the window min so the min order

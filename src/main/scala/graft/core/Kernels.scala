@@ -32,6 +32,20 @@ object Kernels {
     z ^ (z >>> 31)
   }
 
+  /** KMV distinct-count estimate from the k-th smallest hash in UNSIGNED
+    * order: est = ⌊(k−1)·2^64 / u⌋ (Bar-Yossef et al. 2002), u clamped to 1
+    * and the estimate capped at Long.MaxValue. Exact 128-bit integer
+    * arithmetic (BigInteger — called once per GROUP, not per row), so the
+    * value replays bit-identically in any engine with int128 floor division
+    * (DuckDB HUGEINT `//`). */
+  def kmvEst(kthHash: Long, k: Int): Long = {
+    val u =
+      if (kthHash == 0L) java.math.BigInteger.ONE
+      else new java.math.BigInteger(java.lang.Long.toUnsignedString(kthHash))
+    val est = java.math.BigInteger.valueOf((k - 1).toLong).shiftLeft(64).divide(u)
+    if (est.bitLength > 63) Long.MaxValue else est.longValue
+  }
+
   /** Geometry derivation from a 64-bit perceptual hash: high 32 bits → lon,
     * low 32 bits → lat. Deterministic, locality-preserving (nearby hashes →
     * nearby points) and invertible — the synthetic generator can place

@@ -471,6 +471,23 @@ case class Mix64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "mix64"
 }
 
+/** kmv_est(kthHash, k) → KMV distinct estimate ⌊(k−1)·2^64 / unsigned(kth)⌋
+  * (capped at Long.MaxValue; divisor clamped to 1). Codegen'd; the exact
+  * 128-bit arithmetic lives in [[graft.core.Kernels.kmvEst]]. */
+case class KmvEst(kth: Expression, k: Expression) extends BinaryExpression {
+  override def left: Expression = kth
+  override def right: Expression = k
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(h: Any, kk: Any): Any =
+    Kernels.kmvEst(h.asInstanceOf[Long], kk.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.Kernels.kmvEst($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(kth = l, k = r)
+  override def prettyName: String = "kmv_est"
+}
+
 /** st_geomFromWKT(str) → WKB (full parser; null on malformed). */
 case class StGeomFromWkt(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -575,6 +592,7 @@ object st {
   def sqDist(x1: Column, y1: Column, x2: Column, y2: Column): Column =
     col(StSqDist(asD(ex(x1)), asD(ex(y1)), asD(ex(x2)), asD(ex(y2))))
   def mix64(c: Column): Column = col(Mix64(asL(ex(c))))
+  def kmvEst(kth: Column, k: Int): Column = col(KmvEst(asL(ex(kth)), Literal(k)))
   def phashFor(c: Column): Column = col(PhashFor(asL(ex(c))))
   def fp64(text: Column, prefixLen: Int): Column = col(StringFp64(ex(text), Literal(prefixLen)))
   def minhashSig(text: Column, shingleLen: Int, perms: Int): Column =

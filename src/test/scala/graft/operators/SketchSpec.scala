@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Kernels
+import graft.functions.{st, SparkTestSession}
+
+/** Pins [[Sketch.kmvDistinct]] (bounded-state KMV cardinality sketch):
+  * the TypedImperativeAggregate must equal the exact DISTINCT + window-rank
+  * formulation bit-for-bit, across partitionings (partial/merge exercised),
+  * with the exact small-group path and a sane estimate envelope. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic corpus: group g gets tokens t0..t(card(g)-1), each
+    * repeated 1 + (i % 3) times — duplicates must not move the sketch. */
+  private def corpus(cards: Map[String, Int]): DataFrame =
+    cards.toSeq.flatMap { case (g, card) =>
+      (0 until card).flatMap { i =>
+        Seq.fill(1 + i % 3)((g, s"tok_${g}_$i"))
+      }
+    }.toDF("grp", "w")
+
+  /** Exact reference: DISTINCT hash + per-group unsigned rank — the
+    * formulation the oracle uses (shuffles every distinct value; the agg
+    * exists to avoid exactly this at scale). */
+  private def reference(df: DataFrame, k: Int): Map[String, (Long, Long)] = {
+    val h = st.mix64(st.fp64(col("w"), Int.MaxValue))
+    // sign-bit flip: signed order of (h XOR MinValue) == unsigned order of h
+    val d = df.select(col("grp"), h.as("h")).distinct()
+      .withColumn("hf", col("h").bitwiseXOR(lit(Long.MinValue)))
+    val w = Window.partitionBy("grp").orderBy("hf")
+    d.withColumn("rnk", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("grp")))
+      .where(col("rnk") === least(col("cnt"), lit(k)))
+      .select(col("grp"), least(col("cnt"), lit(k)).cast("long").as("n_kept"),
+        when(col("cnt") < k, col("cnt").cast("long"))
+          .otherwise(st.kmvEst(col("h"), k)).as("est"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("kmvDistinct == exact distinct+rank reference, across partitionings") {
+    val df = corpus(Map("a" -> 1000, "b" -> 50, "c" -> 128, "d" -> 129, "e" -> 1))
+    val k = 128
+    val want = reference(df, k)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Sketch.kmvDistinct(df.repartition(parts), col("grp"), col("w"), k)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("small groups are exact; estimate envelope on the big group") {
+    val df = corpus(Map("big" -> 20000, "tiny" -> 5, "edge" -> 128))
+    val got = Sketch.kmvDistinct(df, col("grp"), col("w"), k = 128)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("tiny") == ((5L, 5L)))    // < k → the sketch IS the set
+    assert(got("edge")._1 == 128L)       // exactly k distinct → estimate path
+    val est = got("big")._2.toDouble
+    // standard error 1/sqrt(128) ~ 8.8%; allow 4 sigma on this fixed corpus
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.36, s"est=$est")
+  }
+
+  test("kmvEst kernel: exact integer formula, clamp and cap") {
+    // u = 2^63 → est = (k-1)*2 exactly
+    assert(Kernels.kmvEst(Long.MinValue, 100) == 198L)
+    // u = 1 → (k-1)·2^64 overflows → capped
+    assert(Kernels.kmvEst(1L, 2) == Long.MaxValue)
+    // u = 0 → clamped to 1 → capped
+    assert(Kernels.kmvEst(0L, 2) == Long.MaxValue)
+    // u = 2^64 - 1 (all ones) → est = k-1
+    assert(Kernels.kmvEst(-1L, 512) == 511L)
+  }
+}
