@@ -139,6 +139,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming KMV sketch (complete mode, multi-batch) == batch sketch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // 3 micro-batch files: the sketch state (KMinDistinct buffers in the
+    // state store) must accumulate across triggers exactly as one batch
+    val streamDir = Files.createTempDirectory("graft_kmv_stream")
+    docs.repartition(3).write.parquet(streamDir.resolve("d").toString)
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString + "/*")
+    def toks(df: org.apache.spark.sql.DataFrame) = df.select(col("source"),
+      explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("w"))
+    val q = graft.operators.Sketch.kmvDistinct(toks(stream), col("source"), col("w"), k = 64)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_kmv_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM graft_kmv_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Sketch.kmvDistinct(toks(docs), col("source"), col("w"), k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming sessionization: emitted sessions == their batch counterparts") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = "/root/testdata/sf0.001"
