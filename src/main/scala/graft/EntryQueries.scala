@@ -1183,6 +1183,13 @@ object EntryQueries {
   }
   def q59Sql: String = OracleSqlGen.q59Sql(128)
 
+  /** Context-window chunking ([[TextOps.chunkTokens]]): 64-token windows,
+    * 16-token overlap — map-only, exact integer starts + string slices. */
+  def q60Chunks(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
+      chunkSize = 64, overlap = 16)
+  def q60Sql: String = OracleSqlGen.q60Sql(64, 16)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1253,7 +1260,8 @@ object EntryQueries {
     "q56_quantiles" -> (q56Quantiles _, q56Sql),
     "q57_bpe" -> (q57Bpe _, q57Sql),
     "q58_bpe_encode" -> (q58BpeEncode _, q58Sql),
-    "q59_distinct_sketch" -> (q59Kmv _, q59Sql))
+    "q59_distinct_sketch" -> (q59Kmv _, q59Sql),
+    "q60_chunks" -> (q60Chunks _, q60Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

@@ -980,6 +980,26 @@ object OracleSqlGen {
        |      CAST(9223372036854775807 AS HUGEINT)) END AS BIGINT) AS est_distinct
        |FROM r WHERE rnk = LEAST(cnt, $k)""".stripMargin
 
+  /** q60: context-window chunking replay (TextOps.chunkTokens) — chunk
+    * starts are the integer sequence 0, step, 2·step, … < T; the chunk
+    * payload is the exact token-array slice re-joined with single spaces.
+    * list_slice is 1-based inclusive and end-clamping — matching Spark's
+    * slice(arr, start+1, c). */
+  def q60Sql(chunkSize: Int, overlap: Int): String = {
+    val step = chunkSize - overlap
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+       |  FROM documents),
+       |st AS (SELECT doc_id, tk,
+       |    unnest(generate_series(0, len(tk) - 1, $step)) AS start
+       |  FROM toks WHERE len(tk) > 0)
+       |SELECT doc_id, CAST(start // $step AS BIGINT) AS chunk_id,
+       |  CAST(start AS BIGINT) AS start,
+       |  CAST(LEAST($chunkSize, len(tk) - start) AS BIGINT) AS n_tokens,
+       |  array_to_string(list_slice(tk, start + 1, start + $chunkSize), ' ') AS chunk
+       |FROM st""".stripMargin
+  }
+
   /** q54: winnowing fingerprints (TextOps.winnowFingerprints, Schleimer et
     * al. SIGMOD'03) — word k-gram fp64 rolling hashes (the [[rollHash]]
     * replay, converted to SIGNED before the window min so the min order

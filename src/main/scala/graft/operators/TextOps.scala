@@ -244,6 +244,36 @@ object TextOps {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     aggregate(bpeSegment(text, merges), lit(0L), (acc, ts) => acc + size(ts))
 
+  /** Context-window chunking: split each document into fixed-token-count
+    * chunks with overlap — the standard pretraining prep step ("pack 64-token
+    * windows with 16-token stride"). Chunk starts are the arithmetic sequence
+    * 0, c−o, 2(c−o), … while start < T (the final chunk may be shorter; a
+    * document with fewer than c tokens yields exactly one chunk). Tokens are
+    * the non-empty single-space split and chunks re-join with single spaces
+    * (whitespace normalization is part of the contract). Output:
+    * (doc_id, chunk_id, start, n_tokens, chunk). Pure map-side expressions —
+    * one sequence + explode per document, zero shuffles, zero joins; the
+    * chunk payload is sliced from the token array AFTER the explode so each
+    * output row materializes only its own window. */
+  def chunkTokens(df: DataFrame, id: Column, text: Column,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    df.select(id.cast("long").as("doc_id"),
+        filter(split(text, " "), t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(step))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / step).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        least(lit(chunkSize), size(col("toks")) - col("start"))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkSize)))
+          .as("chunk"))
+  }
+
   /** Rolling polynomial document fingerprint: h = h·31 + char over the first
     * `prefixLen` chars (wrapping 64-bit arithmetic via the fp64 kernel
     * expression — a builtin fold would trip ANSI overflow checks). */

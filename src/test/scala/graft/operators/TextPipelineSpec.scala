@@ -166,6 +166,34 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(cnt == seg.values.map(_.map(_.size).sum).sum)
   }
 
+  test("chunkTokens: boundary conventions (short doc, exact fit, overlap, empty)") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),   // 10 tokens
+      (2L, "x y z"),                 // shorter than a chunk
+      (3L, "p q r s"),               // exactly one chunk at c=4
+      (4L, "   "),                   // whitespace only → no chunks
+      (5L, "lone")                   // single token
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(df, col("doc_id"), col("text"), chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    // doc 1: starts 0,3,6,9 (step 3); last chunk is the single token "j"
+    assert(got == Set(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 3L, 4L, "d e f g"),
+      (1L, 2L, 6L, 4L, "g h i j"),
+      (1L, 3L, 9L, 1L, "j"),
+      (2L, 0L, 0L, 3L, "x y z"),
+      (3L, 0L, 0L, 4L, "p q r s"),
+      (3L, 1L, 3L, 1L, "s"),
+      (5L, 0L, 0L, 1L, "lone")))
+    // zero overlap partitions the tokens exactly
+    val flat = TextOps.chunkTokens(df.where(col("doc_id") === 1), col("doc_id"), col("text"),
+        chunkSize = 3, overlap = 0)
+      .orderBy("start").collect().map(_.getString(4)).mkString(" ")
+    assert(flat == "a b c d e f g h i j")
+  }
+
   test("winnowing guarantee: docs sharing a >= k+w-1 token run share a fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = k+w-1
     val rows = Seq(
