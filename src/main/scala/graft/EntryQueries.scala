@@ -1190,6 +1190,25 @@ object EntryQueries {
       chunkSize = 64, overlap = 16)
   def q60Sql: String = OracleSqlGen.q60Sql(64, 16)
 
+  /** PII redaction ([[TextOps.piiScan]]): deterministic synthetic
+    * emails/SSNs/IPs appended from doc_id (the corpus text carries none),
+    * then the shared Java∩RE2 patterns redact + count on both engines. */
+  def q61Redact(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val synth = concat(col("text"),
+      lit(" contact u"), id.cast("string"),
+      lit("@ex"), (id % 7).cast("string"), lit(".com ssn "),
+      (id % 900 + 100).cast("string"), lit("-"),
+      (id % 90 + 10).cast("string"), lit("-"),
+      (id % 9000 + 1000).cast("string"), lit(" ip "),
+      (id % 256).cast("string"), lit("."),
+      (id * 7 % 256).cast("string"), lit("."),
+      (id * 13 % 256).cast("string"), lit("."),
+      (id * 31 % 256).cast("string"))
+    TextOps.piiScan(t(s, dir, "documents"), id, synth)
+  }
+  def q61Sql: String = OracleSqlGen.q61Sql
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1261,7 +1280,8 @@ object EntryQueries {
     "q57_bpe" -> (q57Bpe _, q57Sql),
     "q58_bpe_encode" -> (q58BpeEncode _, q58Sql),
     "q59_distinct_sketch" -> (q59Kmv _, q59Sql),
-    "q60_chunks" -> (q60Chunks _, q60Sql))
+    "q60_chunks" -> (q60Chunks _, q60Sql),
+    "q61_pii_redact" -> (q61Redact _, q61Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

@@ -1000,6 +1000,36 @@ object OracleSqlGen {
        |FROM st""".stripMargin
   }
 
+  /** q61: PII redaction replay (TextOps.redactPii/piiScan) — the SAME
+    * pattern strings (Java-regex ∩ RE2 subset, parity-validated) run
+    * through DuckDB's regexp_replace(…,'g') / regexp_extract_all. The
+    * PII-bearing text is constructed deterministically from doc_id on
+    * BOTH engines (the corpus text itself carries none). */
+  def q61Sql: String = {
+    val email = graft.operators.TextOps.EmailRx
+    val ssn = graft.operators.TextOps.SsnRx
+    val ip = graft.operators.TextOps.Ipv4Rx
+    s"""WITH synth AS (SELECT doc_id,
+       |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+       |    '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com ssn ' ||
+       |    CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+       |    CAST(doc_id % 90 + 10 AS VARCHAR) || '-' ||
+       |    CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' ip ' ||
+       |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+       |    CAST(doc_id * 7 % 256 AS VARCHAR) || '.' ||
+       |    CAST(doc_id * 13 % 256 AS VARCHAR) || '.' ||
+       |    CAST(doc_id * 31 % 256 AS VARCHAR) AS s
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(s,
+       |    '$email', '<EMAIL>', 'g'), '$ssn', '<SSN>', 'g'),
+       |    '$ip', '<IP>', 'g') AS red,
+       |  CAST(len(regexp_extract_all(s, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(s, '$ssn')) AS BIGINT) AS n_ssn,
+       |  CAST(len(regexp_extract_all(s, '$ip')) AS BIGINT) AS n_ip
+       |FROM synth""".stripMargin
+  }
+
   /** q54: winnowing fingerprints (TextOps.winnowFingerprints, Schleimer et
     * al. SIGMOD'03) — word k-gram fp64 rolling hashes (the [[rollHash]]
     * replay, converted to SIGNED before the window min so the min order

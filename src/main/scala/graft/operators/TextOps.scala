@@ -244,6 +244,34 @@ object TextOps {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     aggregate(bpeSegment(text, merges), lit(0L), (acc, ts) => acc + size(ts))
 
+  /** PII patterns shared by [[redactPii]]/[[piiScan]] and the SQL oracle:
+    * deliberately restricted to the Java-regex ∩ RE2 common subset
+    * (character classes, bounded counts, `\b` — no lookaround, no
+    * backreferences) so the same pattern string replays identically in
+    * DuckDB; parity validated on both engines incl. counts. */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRx = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val Ipv4Rx = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails / SSN-shaped ids / IPv4s to typed placeholder tokens.
+    * Order matters and is part of the contract: SSN before IP keeps a
+    * dash-digit run from being half-eaten; counts ([[piiScan]]) are taken
+    * on the ORIGINAL text. Pure codegen'd `regexp_replace` chain. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRx), lit("<EMAIL>")),
+        lit(SsnRx), lit("<SSN>")),
+      lit(Ipv4Rx), lit("<IP>"))
+
+  /** (redacted, n_email, n_ssn, n_ip) per row — the audit companion. */
+  def piiScan(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.cast("long").as("doc_id"),
+      redactPii(text).as("red"),
+      regexp_count(text, lit(EmailRx)).cast("long").as("n_email"),
+      regexp_count(text, lit(SsnRx)).cast("long").as("n_ssn"),
+      regexp_count(text, lit(Ipv4Rx)).cast("long").as("n_ip"))
+
   /** Context-window chunking: split each document into fixed-token-count
     * chunks with overlap — the standard pretraining prep step ("pack 64-token
     * windows with 16-token stride"). Chunk starts are the arithmetic sequence

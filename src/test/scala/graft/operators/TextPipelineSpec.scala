@@ -194,6 +194,21 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(flat == "a b c d e f g h i j")
   }
 
+  test("redactPii/piiScan: placeholder substitution, counts, ordering") {
+    val df = Seq(
+      (1L, "mail u17@ex3.com x 123-45-6789 ip 10.200.3.255 and u2@a.b.co end 999-99-9999."),
+      (2L, "no pii here at all"),
+      (3L, "edge 1.2.3.4 777-77-7777 a@b.cc")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScan(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the exact string validated against DuckDB's RE2 during development
+    assert(got(1L) == (("mail <EMAIL> x <SSN> ip <IP> and <EMAIL> end <SSN>.", 2L, 2L, 1L)))
+    assert(got(2L) == (("no pii here at all", 0L, 0L, 0L)))
+    assert(got(3L) == (("edge <IP> <SSN> <EMAIL>", 1L, 1L, 1L)))
+  }
+
   test("winnowing guarantee: docs sharing a >= k+w-1 token run share a fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = k+w-1
     val rows = Seq(
