@@ -1209,6 +1209,17 @@ object EntryQueries {
   }
   def q61Sql: String = OracleSqlGen.q61Sql
 
+  /** Heavy hitters ([[Sketch.heavyHitters]]): first letters of tokens at
+    * ≥ 10% frequency through a 12-slot Misra-Gries sketch (19 distinct
+    * letters — the sketch genuinely prunes) + exact candidate recount. */
+  def q62Heavy(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(
+      explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("tok"))
+    Sketch.heavyHitters(toks, substring(col("tok"), 1, 1),
+      sketchSize = 12, minPpm = 100000L)
+  }
+  def q62Sql: String = OracleSqlGen.q62Sql(100000L)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1281,7 +1292,8 @@ object EntryQueries {
     "q58_bpe_encode" -> (q58BpeEncode _, q58Sql),
     "q59_distinct_sketch" -> (q59Kmv _, q59Sql),
     "q60_chunks" -> (q60Chunks _, q60Sql),
-    "q61_pii_redact" -> (q61Redact _, q61Sql))
+    "q61_pii_redact" -> (q61Redact _, q61Sql),
+    "q62_heavy_hitters" -> (q62Heavy _, q62Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

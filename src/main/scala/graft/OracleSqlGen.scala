@@ -1030,6 +1030,20 @@ object OracleSqlGen {
        |FROM synth""".stripMargin
   }
 
+  /** q62: heavy hitters (Sketch.heavyHitters) — the engine's Misra-Gries
+    * two-pass output is exact counts of items at ≥ ppm frequency, so the
+    * oracle is the straight GROUP BY / HAVING over first letters of the
+    * tokens (the sketch only bounds WHICH items can matter; its residual
+    * counts never reach the output). */
+  def q62Sql(ppm: Long): String =
+    s"""WITH toks AS (SELECT lower(tok) AS t FROM documents,
+       |    unnest(string_split(text, ' ')) AS u(tok) WHERE len(tok) > 0),
+       |v AS (SELECT substring(t, 1, 1) AS w FROM toks),
+       |tot AS (SELECT COUNT(*) AS total FROM v)
+       |SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM v, tot GROUP BY w, tot.total
+       |HAVING COUNT(*) * 1000000 >= tot.total * $ppm""".stripMargin
+
   /** q54: winnowing fingerprints (TextOps.winnowFingerprints, Schleimer et
     * al. SIGMOD'03) — word k-gram fp64 rolling hashes (the [[rollHash]]
     * replay, converted to SIGNED before the window min so the min order

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.functions.{st, KMinDistinct}
+import graft.functions.{st, KMinDistinct, MisraGries}
 
 /** Cardinality sketches — deterministic, integer-exact APPROXIMATE distinct
   * counting. The 100-TB calibration primitive ("vocabulary size per source",
@@ -38,6 +38,38 @@ object Sketch {
         when(size(col("mins")) < k, size(col("mins")).cast("long"))
           .otherwise(st.kmvEst(element_at(col("mins"), k), k))
           .as("est_distinct"))
+  }
+
+  /** EXACT global heavy hitters without a full-vocabulary shuffle — the
+    * two-pass sketch-then-verify shape (the LSH-recall + exact-verify
+    * philosophy applied to frequency): (1) a Misra-Gries
+    * TypedImperativeAggregate ([[graft.functions.MisraGries]]) collapses
+    * the corpus map-side to ≤ sketchSize candidate strings per task state —
+    * provably a SUPERSET of every item with frequency > n/(sketchSize+1);
+    * (2) ONLY the candidates recount exactly (broadcast semi-filter before
+    * the groupBy, so the count shuffle carries ≤ sketchSize keys), and the
+    * ppm threshold filters on exact integers. The OUTPUT — exact counts of
+    * truly-heavy items — is bit-deterministic even though MG residuals are
+    * merge-order-dependent, which is why the gate can hold it to a plain
+    * GROUP BY / HAVING oracle. `require` enforces the recall precondition
+    * minPpm > 10^6/(sketchSize+1) — below it the sketch could MISS a
+    * qualifying item and silently under-report. */
+  def heavyHitters(df: DataFrame, value: Column, sketchSize: Int, minPpm: Long): DataFrame = {
+    require(sketchSize >= 1, "sketchSize must be >= 1")
+    require(minPpm >= 1 && minPpm <= 1000000L, "minPpm in [1, 1e6]")
+    require((sketchSize + 1).toLong * minPpm > 1000000L,
+      s"no recall guarantee: need minPpm > 1e6/(sketchSize+1) = ${1000000L / (sketchSize + 1) + 1}")
+    val v = df.select(value.cast("string").as("w")).where(col("w").isNotNull)
+    val cands = v.agg(Bridge.column(
+        MisraGries(Bridge.expression(col("w")), sketchSize).toAggregateExpression())
+        .as("c"))
+      .select(explode(col("c")).as("w"))
+    val total = v.agg(count(lit(1)).as("total"))
+    v.join(broadcast(cands), Seq("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n") * 1000000L >= col("total") * minPpm)
+      .select(col("w"), col("n"))
   }
 
   /** Per-group approximate distinct count of a STRING column: hash =

@@ -65,6 +65,30 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est - 20000.0) / 20000.0 < 0.36, s"est=$est")
   }
 
+  test("heavyHitters == exact GROUP BY/HAVING, tight sketch, across partitionings") {
+    // zipf-ish: item i appears ceil(6000/(i+1)) times, 60 items; with
+    // n ≈ 28k: h0 ≈ 21%, h1 ≈ 10.6%, h2 ≈ 7.1%, h3 ≈ 5.3%, tail < 4.3%
+    val rows = (0 until 60).flatMap(i => Seq.fill((6000 + i) / (i + 1))(s"item_$i"))
+    val df = rows.toDF("w")
+    val n = rows.size.toLong
+    def exact(ppm: Long) = rows.groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }
+      .filter { case (_, c) => c * 1000000L >= n * ppm }.toSet
+    // ppm 50000 (5%) needs sketchSize >= 20; use exactly 20 (tight) and 64
+    for (k <- Seq(20, 64); parts <- Seq(1, 32)) {
+      val got = Sketch.heavyHitters(df.repartition(parts), col("w"), k, 50000L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == exact(50000L), s"k=$k parts=$parts")
+    }
+    // higher bar: 15% — only the top item qualifies; minimal legal sketch
+    val top = Sketch.heavyHitters(df.repartition(16), col("w"), 7, 150000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(top == exact(150000L) && top.size == 1)
+    // guardrail: a sketch too small for the threshold must throw loudly
+    intercept[IllegalArgumentException] {
+      Sketch.heavyHitters(df, col("w"), 9, 100000L)
+    }
+  }
+
   test("kmvEst kernel: exact integer formula, clamp and cap") {
     // u = 2^63 → est = (k-1)*2 exactly
     assert(Kernels.kmvEst(Long.MinValue, 100) == 198L)
