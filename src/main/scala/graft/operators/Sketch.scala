@@ -60,11 +60,17 @@ object Sketch {
     require((sketchSize + 1).toLong * minPpm > 1000000L,
       s"no recall guarantee: need minPpm > 1e6/(sketchSize+1) = ${1000000L / (sketchSize + 1) + 1}")
     val v = df.select(value.cast("string").as("w")).where(col("w").isNotNull)
-    val cands = v.agg(Bridge.column(
+    // ONE corpus pass yields sketch + total; the 1-row result is
+    // localCheckpoint'd because it has two consumers below (an unpersisted
+    // frame would re-run the corpus aggregation per consumer — the
+    // documented persist-the-small-frame rule). Total corpus scans: 2
+    // (sketch+count, recount) — the minimum for sketch-then-verify.
+    val sk = v.agg(Bridge.column(
         MisraGries(Bridge.expression(col("w")), sketchSize).toAggregateExpression())
-        .as("c"))
-      .select(explode(col("c")).as("w"))
-    val total = v.agg(count(lit(1)).as("total"))
+        .as("c"), count(lit(1)).as("total"))
+      .localCheckpoint(true)
+    val cands = sk.select(explode(col("c")).as("w"))
+    val total = sk.select(col("total"))
     v.join(broadcast(cands), Seq("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))
