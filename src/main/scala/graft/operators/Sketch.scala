@@ -59,6 +59,9 @@ object Sketch {
     require(minPpm >= 1 && minPpm <= 1000000L, "minPpm in [1, 1e6]")
     require((sketchSize + 1).toLong * minPpm > 1000000L,
       s"no recall guarantee: need minPpm > 1e6/(sketchSize+1) = ${1000000L / (sketchSize + 1) + 1}")
+    require(!df.isStreaming,
+      "heavyHitters is two-pass (an eager sketch action feeds the recount) — " +
+        "batch only; for streams call it from foreachBatch over each snapshot")
     val v = df.select(value.cast("string").as("w")).where(col("w").isNotNull)
     // ONE corpus pass yields sketch + total; the 1-row result is
     // localCheckpoint'd because it has two consumers below (an unpersisted

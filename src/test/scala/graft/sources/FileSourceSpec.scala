@@ -165,6 +165,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("heavyHitters on a streaming source: loud batch-only error, foreachBatch works") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val streamDir = Files.createTempDirectory("graft_mg_stream")
+    docs.repartition(3).write.parquet(streamDir.resolve("d").toString)
+    val stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString + "/*")
+    def letters(df: org.apache.spark.sql.DataFrame) = df.select(
+      explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("tok"))
+      .select(substring(col("tok"), 1, 1).as("w"))
+    // the two-pass operator needs a mid-query action → batch only, loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Sketch.heavyHitters(letters(stream), col("w"), 12, 100000L)
+    }
+    assert(err.getMessage.contains("foreachBatch"))
+    // the documented streaming recipe: run it per micro-batch snapshot
+    var last: Set[(String, Long)] = Set.empty
+    val q = letters(stream).writeStream
+      .foreachBatch { (batchDf: org.apache.spark.sql.DataFrame, _: Long) =>
+        last = graft.operators.Sketch.heavyHitters(batchDf, col("w"), 12, 100000L)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // per-batch result matches batch heavyHitters on SOME subset (the last
+    // micro-batch) — and each subset's output is internally exact
+    assert(last.nonEmpty)
+  }
+
   test("streaming sessionization: emitted sessions == their batch counterparts") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = "/root/testdata/sf0.001"
