@@ -1220,6 +1220,16 @@ object EntryQueries {
   }
   def q62Sql: String = OracleSqlGen.q62Sql(100000L)
 
+  /** Per-source heavy hitters ([[Sketch.heavyHittersByKey]]): q62's
+    * guarantee within each source group. */
+  def q63HeavyByKey(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("source"),
+      explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("tok"))
+    Sketch.heavyHittersByKey(toks, col("source"), substring(col("tok"), 1, 1),
+      sketchSize = 12, minPpm = 100000L)
+  }
+  def q63Sql: String = OracleSqlGen.q63Sql(100000L)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1293,7 +1303,8 @@ object EntryQueries {
     "q59_distinct_sketch" -> (q59Kmv _, q59Sql),
     "q60_chunks" -> (q60Chunks _, q60Sql),
     "q61_pii_redact" -> (q61Redact _, q61Sql),
-    "q62_heavy_hitters" -> (q62Heavy _, q62Sql))
+    "q62_heavy_hitters" -> (q62Heavy _, q62Sql),
+    "q63_heavy_by_key" -> (q63HeavyByKey _, q63Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

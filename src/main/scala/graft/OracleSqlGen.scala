@@ -1044,6 +1044,18 @@ object OracleSqlGen {
        |FROM v, tot GROUP BY w, tot.total
        |HAVING COUNT(*) * 1000000 >= tot.total * $ppm""".stripMargin
 
+  /** q63: per-group heavy hitters (Sketch.heavyHittersByKey) — q62's
+    * exact-output contract per source: GROUP BY (grp, w) with a per-group
+    * total in the HAVING. */
+  def q63Sql(ppm: Long): String =
+    s"""WITH toks AS (SELECT source, lower(tok) AS t FROM documents,
+       |    unnest(string_split(text, ' ')) AS u(tok) WHERE len(tok) > 0),
+       |v AS (SELECT source AS grp, substring(t, 1, 1) AS w FROM toks),
+       |tot AS (SELECT grp, COUNT(*) AS total FROM v GROUP BY grp)
+       |SELECT v.grp, w, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM v JOIN tot USING (grp) GROUP BY v.grp, w, tot.total
+       |HAVING COUNT(*) * 1000000 >= tot.total * $ppm""".stripMargin
+
   /** q54: winnowing fingerprints (TextOps.winnowFingerprints, Schleimer et
     * al. SIGMOD'03) — word k-gram fp64 rolling hashes (the [[rollHash]]
     * replay, converted to SIGNED before the window min so the min order

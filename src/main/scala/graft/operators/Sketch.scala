@@ -81,6 +81,36 @@ object Sketch {
       .select(col("w"), col("n"))
   }
 
+  /** PER-GROUP exact heavy hitters — [[heavyHitters]]'s guarantee applied
+    * within each group key ("per-source dominant terms"): one ≤k-entry MG
+    * state per group map-side, candidates ≤ groups·k rows (broadcast on
+    * the recount — fine while groups·k stays broadcastable; for millions
+    * of groups drop the hint and let AQE pick the join). Same recall
+    * precondition per group; output (grp, w, n) exact. */
+  def heavyHittersByKey(df: DataFrame, group: Column, value: Column,
+                        sketchSize: Int, minPpm: Long): DataFrame = {
+    require(sketchSize >= 1, "sketchSize must be >= 1")
+    require(minPpm >= 1 && minPpm <= 1000000L, "minPpm in [1, 1e6]")
+    require((sketchSize + 1).toLong * minPpm > 1000000L,
+      s"no recall guarantee: need minPpm > 1e6/(sketchSize+1) = ${1000000L / (sketchSize + 1) + 1}")
+    require(!df.isStreaming,
+      "heavyHittersByKey is two-pass (an eager sketch action feeds the recount) — " +
+        "batch only; for streams call it from foreachBatch over each snapshot")
+    val v = df.select(group.cast("string").as("grp"), value.cast("string").as("w"))
+      .where(col("w").isNotNull && col("grp").isNotNull)
+    val sk = v.groupBy("grp")
+      .agg(Bridge.column(
+        MisraGries(Bridge.expression(col("w")), sketchSize).toAggregateExpression())
+        .as("c"), count(lit(1)).as("total"))
+      .localCheckpoint(true)
+    val cands = sk.select(col("grp"), explode(col("c")).as("w"))
+    v.join(broadcast(cands), Seq("grp", "w"))
+      .groupBy("grp", "w").agg(count(lit(1)).as("n"))
+      .join(broadcast(sk.select(col("grp"), col("total"))), Seq("grp"))
+      .where(col("n") * 1000000L >= col("total") * minPpm)
+      .select(col("grp"), col("w"), col("n"))
+  }
+
   /** Per-group approximate distinct count of a STRING column: hash =
     * mix64(fp64(value)) — the rolling polynomial spreads the chars, the
     * splitmix64 finalizer uniformizes the high bits KMV's order statistic

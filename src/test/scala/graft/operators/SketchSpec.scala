@@ -89,6 +89,35 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHittersByKey == exact per-group GROUP BY/HAVING, tight sketch") {
+    // group g: its own heavy item rules ~g·5% of the group, tail uniform
+    val rows = (0 until 4).flatMap { g =>
+      val heavy = Seq.fill(1000 + g * 700)(s"g$g" -> s"hot_$g")
+      val tail = (0 until 40).flatMap(i => Seq.fill(100)(s"g$g" -> s"t${g}_$i"))
+      heavy ++ tail
+    }
+    val df = rows.toDF("grp", "w")
+    val exact = rows.groupBy(_._1).flatMap { case (g, xs) =>
+      val n = xs.size.toLong
+      xs.groupBy(_._2).collect { case (w, ys) if ys.size.toLong * 1000000L >= n * 150000L =>
+        (g, w, ys.size.toLong)
+      }
+    }.toSet
+    for (parts <- Seq(1, 16)) {
+      val got = Sketch.heavyHittersByKey(df.repartition(parts), col("grp"), col("w"),
+          sketchSize = 7, minPpm = 150000L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == exact, s"parts=$parts")
+    }
+    // groups differ: g0's hot item is ~20% of 5000 → in; check at least one
+    // group has a winner and at least one group has none at a higher bar
+    val high = Sketch.heavyHittersByKey(df, col("grp"), col("w"), 4, 280000L)
+      .collect().map(r => r.getString(0)).toSet
+    assert(high == rows.groupBy(_._1).collect { case (g, xs)
+      if xs.groupBy(_._2).values.map(_.size).max.toLong * 1000000L >= xs.size.toLong * 280000L => g
+    }.toSet)
+  }
+
   test("kmvEst kernel: exact integer formula, clamp and cap") {
     // u = 2^63 → est = (k-1)*2 exactly
     assert(Kernels.kmvEst(Long.MinValue, 100) == 198L)
