@@ -1230,6 +1230,34 @@ object EntryQueries {
   }
   def q63Sql: String = OracleSqlGen.q63Sql(100000L)
 
+  /** The README six-line pipeline as ONE gated query: fuzzy eval
+    * decontamination → exact dedup → SimHash keep-best → quality gate →
+    * deterministic per-source packing. Composes [[Dedup.decontaminate]],
+    * [[Dedup.exact]], [[Dedup.simhashPairs]], [[Dedup.keepBest]],
+    * [[TextOps.qualityScoreBp]] and [[Mixing.packBins]] — the oracle
+    * replays all five stages in one SQL. `base` (the dedup survivors) is
+    * persisted: three consumers (pair generation, scoring, final pack)
+    * would each re-run the broadcast NL anti join otherwise. */
+  def q64Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalDf = docs.where(col("doc_id") % 17 === 3)
+    val corpus = docs.where(col("doc_id") % 17 =!= 3)
+    val decon = Dedup.decontaminate(corpus, col("text"), evalDf, col("text"))
+    val keepIds = Dedup.exact(decon, col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    val base = decon.join(keepIds, Seq("doc_id")).persist()
+    val pairs = Dedup.simhashPairs(base, col("doc_id"), col("text"), maxHamming = 3)
+    val scored = base.select(col("doc_id"), TextOps.qualityScoreBp(col("text")).as("q"))
+    val win = Dedup.keepBest(scored, col("doc_id"), col("q"),
+        pairs, col("id_a"), col("id_b"))
+      .where(col("quality") >= 4000).select(col("id").as("doc_id"))
+    Mixing.packBins(base.select("doc_id", "source", "n_chars").join(win, Seq("doc_id")),
+        col("source"), col("doc_id"), col("n_chars"), binSize = 8192L)
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+  def q64Sql: String = OracleSqlGen.q64Sql(0.6, 3, 4000L, 8192L)
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1304,7 +1332,8 @@ object EntryQueries {
     "q60_chunks" -> (q60Chunks _, q60Sql),
     "q61_pii_redact" -> (q61Redact _, q61Sql),
     "q62_heavy_hitters" -> (q62Heavy _, q62Sql),
-    "q63_heavy_by_key" -> (q63HeavyByKey _, q63Sql))
+    "q63_heavy_by_key" -> (q63HeavyByKey _, q63Sql),
+    "q64_pipeline" -> (q64Pipeline _, q64Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

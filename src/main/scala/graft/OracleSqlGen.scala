@@ -596,11 +596,23 @@ object OracleSqlGen {
     * recursive-CTE transitive closure, the q23 integer quality blend, then
     * one doc kept per component by (quality DESC, id ASC); docs in no pair
     * are their own component. */
-  def q48Sql(maxHamming: Int): String = {
-    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
-      "it", "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+  def q48Sql(maxHamming: Int): String =
     s"""WITH RECURSIVE $simhashCtes,
-       |prs AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b
+       |${closureCtes(maxHamming)},
+       |${qualityCtesOver("documents")},
+       |lab AS (SELECT q.doc_id AS id, q.quality, COALESCE(c.comp, q.doc_id) AS comp
+       |  FROM qual q LEFT JOIN comp c ON c.id = q.doc_id),
+       |r AS (SELECT id, comp, quality,
+       |  ROW_NUMBER() OVER (PARTITION BY comp ORDER BY quality DESC, id) AS rnk,
+       |  COUNT(*) OVER (PARTITION BY comp) AS n_members FROM lab)
+       |SELECT id, comp, quality, CAST(n_members AS BIGINT) AS n_members
+       |FROM r WHERE rnk = 1""".stripMargin
+
+  /** SimHash-pair transitive closure over `sig` → `comp (id, comp)`:
+    * pairs at Hamming ≤ maxHamming, bidirected, recursive reachability,
+    * min-reachable label (the q39/q48 closure, shared with q64). */
+  private def closureCtes(maxHamming: Int): String =
+    s"""prs AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b
        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= $maxHamming),
        |bidir AS (SELECT ia AS src, ib AS dst FROM prs
        |  UNION ALL SELECT ib, ia FROM prs),
@@ -609,13 +621,19 @@ object OracleSqlGen {
        |  SELECT id, id FROM gnodes
        |  UNION
        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON b.src = r.dst),
-       |comp AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src),
-       |qb AS (SELECT doc_id,
+       |comp AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)""".stripMargin
+
+  /** Integer quality score (TextOps.qualityScoreBp) over an arbitrary
+    * (doc_id, text) relation → `qual (doc_id, quality)`. */
+  private def qualityCtesOver(rel: String): String = {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+    s"""qb AS (SELECT doc_id,
        |  length(text) AS n,
        |  length(text) - length(regexp_replace(text, '[\\p{P}]', '', 'g')) AS n_punct,
        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
        |  list_filter(regexp_split_to_array(lower(text), '[^a-z'']+'), w -> len(w) > 0) AS qwords
-       |  FROM documents),
+       |  FROM $rel),
        |qs AS (SELECT doc_id, n, n_punct, n_digit, len(qwords) AS n_qw,
        |  len(list_filter(qwords, w -> list_contains([${stop.map("'" + _ + "'").mkString(", ")}], w))) AS n_stop
        |  FROM qb),
@@ -623,14 +641,59 @@ object OracleSqlGen {
        |  + CASE WHEN 200 * n_punct >= n AND 20 * n_punct <= 3 * n THEN 2500 ELSE 750 END
        |  + CASE WHEN n_qw > 0 AND 10 * n_stop >= n_qw AND 10 * n_stop <= 7 * n_qw THEN 2500 ELSE 1000 END
        |  + CASE WHEN 10 * n_digit < 3 * n THEN 1000 ELSE 200 END AS BIGINT) AS quality
-       |  FROM qs),
+       |  FROM qs)""".stripMargin
+  }
+
+  /** q64: the README six-line training-data pipeline as ONE gated query —
+    * every stage is an already-validated kernel replay, composed:
+    * (1) fuzzy eval decontamination (q34's NOT-EXISTS over hashed 4-gram
+    * shingles, eval = doc_id % 17 = 3), (2) exact dedup (min doc_id per
+    * text), (3) SimHash ≤ maxHamming near-dup clusters → keep-best by
+    * integer quality (q48's closure + argmax, signatures computed over the
+    * SURVIVORS only), (4) quality gate, (5) per-source deterministic bin
+    * packing (q35's mix64-order running sum). Output: (source, bin,
+    * n_docs, total_chars). */
+  def q64Sql(minJ: Double, maxHamming: Int, qualityMin: Long, binSize: Long): String = {
+    val num = graft.operators.Dedup.ratioNum(minJ)
+    val den = graft.operators.Dedup.RatioDen
+    s"""WITH RECURSIVE d AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(t) < 4 THEN [${rollHash("t")}]
+       |       ELSE list_distinct([${roll4("t", "j")} for j in generate_series(1, len(t) - 3)])
+       |  END AS s
+       |  FROM d),
+       |ev AS (SELECT s FROM sh WHERE doc_id % 17 = 3),
+       |keep1 AS (SELECT a.doc_id FROM sh a WHERE a.doc_id % 17 <> 3 AND NOT EXISTS (
+       |  SELECT 1 FROM ev b
+       |  WHERE len(a.s) * $den >= len(b.s) * $num
+       |    AND len(b.s) * $den >= len(a.s) * $num
+       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= $minJ)),
+       |k2 AS (SELECT MIN(d2.doc_id) AS doc_id FROM documents d2
+       |  JOIN keep1 USING (doc_id) GROUP BY d2.text),
+       |base AS (SELECT dd.doc_id, dd.text, dd.source, dd.n_chars
+       |  FROM documents dd JOIN k2 USING (doc_id)),
+       |${simhashCtesOver("base")},
+       |${closureCtes(maxHamming)},
+       |${qualityCtesOver("base")},
        |lab AS (SELECT q.doc_id AS id, q.quality, COALESCE(c.comp, q.doc_id) AS comp
        |  FROM qual q LEFT JOIN comp c ON c.id = q.doc_id),
-       |r AS (SELECT id, comp, quality,
-       |  ROW_NUMBER() OVER (PARTITION BY comp ORDER BY quality DESC, id) AS rnk,
-       |  COUNT(*) OVER (PARTITION BY comp) AS n_members FROM lab)
-       |SELECT id, comp, quality, CAST(n_members AS BIGINT) AS n_members
-       |FROM r WHERE rnk = 1""".stripMargin
+       |r AS (SELECT id, quality,
+       |  ROW_NUMBER() OVER (PARTITION BY comp ORDER BY quality DESC, id) AS rnk FROM lab),
+       |win AS (SELECT id FROM r WHERE rnk = 1 AND quality >= $qualityMin),
+       |mxd AS (SELECT b2.doc_id, b2.source, b2.n_chars,
+       |  ${mix64Cols("CAST(b2.doc_id AS UBIGINT)", "m")}
+       |  FROM base b2 JOIN win ON win.id = b2.doc_id),
+       |rr AS (SELECT doc_id, source, n_chars,
+       |  SUM(n_chars) OVER (PARTITION BY source ORDER BY (m >> 1), doc_id) AS run
+       |  FROM mxd),
+       |bb AS (SELECT source, n_chars,
+       |  CAST(((run - n_chars) - ((((run - n_chars) % $binSize) + $binSize) % $binSize))
+       |    // $binSize AS BIGINT) AS bin
+       |  FROM rr)
+       |SELECT source, bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM bb GROUP BY source, bin""".stripMargin
   }
 
   /** q37: packBins over shardKey(source, doc_id, nShards) — the giant-key
@@ -689,8 +752,12 @@ object OracleSqlGen {
 
   /** sig CTE fragment: per-doc 64-bit SimHash (Kernels.simhash64) as a
     * UBIGINT column `s` keyed by doc_id. */
-  def simhashCtes: String =
-    s"""docs AS (SELECT doc_id, text FROM documents),
+  def simhashCtes: String = simhashCtesOver("documents")
+
+  /** [[simhashCtes]] over an arbitrary (doc_id, text, …) relation — q64
+    * signs only the docs surviving its earlier pipeline stages. */
+  def simhashCtesOver(rel: String): String =
+    s"""docs AS (SELECT doc_id, text FROM $rel),
        |toks AS (SELECT doc_id, lower(tok) AS t
        |         FROM docs, unnest(string_split(text, ' ')) AS u(tok) WHERE len(tok) > 0),
        |hashes AS (SELECT doc_id, ${rollHash("t")} AS h FROM toks),
