@@ -1240,8 +1240,8 @@ object EntryQueries {
     * would each re-run the broadcast NL anti join otherwise. */
   def q64Pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val evalDf = docs.where(col("doc_id") % 17 === 3)
-    val corpus = docs.where(col("doc_id") % 17 =!= 3)
+    val evalDf = docs.where(col("doc_id") % 97 === 3)
+    val corpus = docs.where(col("doc_id") % 97 =!= 3)
     val decon = Dedup.decontaminate(corpus, col("text"), evalDf, col("text"))
     val keepIds = Dedup.exact(decon, col("text"), col("doc_id"))
       .select(col("keep_id").as("doc_id"))

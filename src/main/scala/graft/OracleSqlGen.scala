@@ -647,7 +647,7 @@ object OracleSqlGen {
   /** q64: the README six-line training-data pipeline as ONE gated query —
     * every stage is an already-validated kernel replay, composed:
     * (1) fuzzy eval decontamination (q34's NOT-EXISTS over hashed 4-gram
-    * shingles, eval = doc_id % 17 = 3), (2) exact dedup (min doc_id per
+    * shingles, eval = doc_id % 97 = 3), (2) exact dedup (min doc_id per
     * text), (3) SimHash ≤ maxHamming near-dup clusters → keep-best by
     * integer quality (q48's closure + argmax, signatures computed over the
     * SURVIVORS only), (4) quality gate, (5) per-source deterministic bin
@@ -662,8 +662,8 @@ object OracleSqlGen {
        |       ELSE list_distinct([${roll4("t", "j")} for j in generate_series(1, len(t) - 3)])
        |  END AS s
        |  FROM d),
-       |ev AS (SELECT s FROM sh WHERE doc_id % 17 = 3),
-       |keep1 AS (SELECT a.doc_id FROM sh a WHERE a.doc_id % 17 <> 3 AND NOT EXISTS (
+       |ev AS (SELECT s FROM sh WHERE doc_id % 97 = 3),
+       |keep1 AS (SELECT a.doc_id FROM sh a WHERE a.doc_id % 97 <> 3 AND NOT EXISTS (
        |  SELECT 1 FROM ev b
        |  WHERE len(a.s) * $den >= len(b.s) * $num
        |    AND len(b.s) * $den >= len(a.s) * $num
