@@ -1258,6 +1258,13 @@ object EntryQueries {
   }
   def q64Sql: String = OracleSqlGen.q64Sql(0.6, 3, 4000L, 8192L)
 
+  /** Unigram surprisal scoring ([[TextOps.unigramSurprisal]]): the
+    * integer-exact perplexity-filter primitive — self-trained unigram LM,
+    * floor-log2 surprisal via bin-string length on both engines. */
+  def q65Surprisal(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramSurprisal(t(s, dir, "documents"), col("doc_id"), col("text"))
+  def q65Sql: String = OracleSqlGen.q65Sql
+
   /** Shard packing ([[Mixing.packBins]]): per-source fixed-capacity bins in
     * the deterministic uniform order — all-integer, oracle-replayed. */
   def q35Pack(s: SparkSession, dir: String): DataFrame =
@@ -1333,7 +1340,8 @@ object EntryQueries {
     "q61_pii_redact" -> (q61Redact _, q61Sql),
     "q62_heavy_hitters" -> (q62Heavy _, q62Sql),
     "q63_heavy_by_key" -> (q63HeavyByKey _, q63Sql),
-    "q64_pipeline" -> (q64Pipeline _, q64Sql))
+    "q64_pipeline" -> (q64Pipeline _, q64Sql),
+    "q65_surprisal" -> (q65Surprisal _, q65Sql))
 
   /** Kept for API compatibility: every query is oracle-checked now. */
   val rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty

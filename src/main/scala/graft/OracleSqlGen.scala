@@ -1123,6 +1123,23 @@ object OracleSqlGen {
        |FROM v JOIN tot USING (grp) GROUP BY v.grp, w, tot.total
        |HAVING COUNT(*) * 1000000 >= tot.total * $ppm""".stripMargin
 
+  /** q65: unigram-LM surprisal replay (TextOps.unigramSurprisal) — the
+    * integer floor-log2 surprisal `len(bin(total // cnt)) - 1` (bin prints
+    * no leading zeros in either engine), summed per document, mean in
+    * basis points by floor division. */
+  def q65Sql: String =
+    s"""WITH toks AS (SELECT doc_id, lower(tok) AS w FROM documents,
+       |    unnest(string_split(text, ' ')) AS u(tok) WHERE len(tok) > 0),
+       |cnts AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+       |tot AS (SELECT COUNT(*) AS n FROM toks),
+       |sur AS (SELECT w, CAST(len(bin(CAST(n // c AS BIGINT))) - 1 AS BIGINT) AS s
+       |  FROM cnts, tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(s) AS BIGINT) AS sum_surprisal,
+       |  CAST((SUM(s) * 10000) // COUNT(*) AS BIGINT) AS mean_bp
+       |FROM toks JOIN sur USING (w)
+       |GROUP BY doc_id""".stripMargin
+
   /** q54: winnowing fingerprints (TextOps.winnowFingerprints, Schleimer et
     * al. SIGMOD'03) — word k-gram fp64 rolling hashes (the [[rollHash]]
     * replay, converted to SIGNED before the window min so the min order

@@ -244,6 +244,36 @@ object TextOps {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     aggregate(bpeSegment(text, merges), lit(0L), (acc, ts) => acc + size(ts))
 
+  /** Unigram-LM surprisal scoring — the perplexity-filter primitive
+    * (CCNet-style quality filtering: "drop documents whose tokens are
+    * improbable under a corpus LM"), made integer-exact: a token's
+    * surprisal is ⌊log2(nTotal / cnt(w))⌋ bits, computed as
+    * `length(bin(nTotal div cnt)) − 1` — `bin` prints no leading zeros in
+    * both engines, so the floor-log2 replays bit-identically (no float
+    * log). Output per document: (doc_id, n_tokens, sum_surprisal,
+    * mean_bp = ⌊10^4·sum/n⌋) — filter on mean_bp.
+    *
+    * Distributed shape: ONE map-side-combined count aggregation builds the
+    * unigram table; the corpus total joins as a broadcast single-row frame
+    * (no driver collect); tokens ⋈ vocabulary is a hash join on the token
+    * (the q47 tf-idf rule: vocabulary NOT assumed broadcastable at 100 TB);
+    * one per-document aggregation. Self-trained: the corpus scores itself —
+    * rare-token-heavy documents surface with high mean surprisal. */
+  def unigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.cast("long").as("doc_id"),
+      explode(filter(split(lower(text), " "), t => length(t) > 0)).as("w"))
+    val cnts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    val sur = cnts.crossJoin(broadcast(total))
+      .select(col("w"), (length(bin(Ann.fdiv(col("n"), col("c")))) - 1)
+        .cast("long").as("s"))
+    toks.join(sur, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("s").as("sum_surprisal"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_surprisal"),
+        Ann.fdiv(col("sum_surprisal") * 10000L, col("n_tokens")).as("mean_bp"))
+  }
+
   /** PII patterns shared by [[redactPii]]/[[piiScan]] and the SQL oracle:
     * deliberately restricted to the Java-regex ∩ RE2 common subset
     * (character classes, bounded counts, `\b` — no lookaround, no

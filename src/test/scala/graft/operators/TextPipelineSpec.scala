@@ -209,6 +209,26 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(3L) == (("edge <IP> <SSN> <EMAIL>", 1L, 1L, 1L)))
   }
 
+  test("unigramSurprisal == plain-Scala floor-log2 replay") {
+    val texts = corpus(60).map(_._2) :+ "rareword w0 w0" // one singleton token
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val toks = texts.flatMap(_.toLowerCase.split(" ").filter(_.nonEmpty))
+    val total = toks.size.toLong
+    val cnt = toks.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    def sur(w: String): Long = 63L - java.lang.Long.numberOfLeadingZeros(total / cnt(w))
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      val s = ws.map(sur).sum
+      (i.toLong, ws.length.toLong, s, s * 10000L / ws.length)
+    }.toSet
+    val got = TextOps.unigramSurprisal(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    // the singleton token carries the corpus-max surprisal
+    val rare = got.find(_._1 == 60L).get
+    assert(rare._3 >= sur("rareword") && sur("rareword") == 63L - java.lang.Long.numberOfLeadingZeros(total))
+  }
+
   test("winnowing guarantee: docs sharing a >= k+w-1 token run share a fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = k+w-1
     val rows = Seq(
