@@ -1245,7 +1245,10 @@ object EntryQueries {
     val decon = Dedup.decontaminate(corpus, col("text"), evalDf, col("text"))
     val keepIds = Dedup.exact(decon, col("text"), col("doc_id"))
       .select(col("keep_id").as("doc_id"))
-    val base = decon.join(keepIds, Seq("doc_id")).persist()
+    // registered so the harness's per-query releaseAll() frees the cached
+    // partitions — a bare persist() leaked them for the rest of the session
+    val base = graft.operators.CacheTracker.register(
+      decon.join(keepIds, Seq("doc_id")).persist())
     val pairs = Dedup.simhashPairs(base, col("doc_id"), col("text"), maxHamming = 3)
     val scored = base.select(col("doc_id"), TextOps.qualityScoreBp(col("text")).as("q"))
     val win = Dedup.keepBest(scored, col("doc_id"), col("q"),

@@ -215,6 +215,13 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       shingleLen: Int = 4, minJaccard: Double = 0.7): DataFrame = {
     import graft.functions.st
+    // r6 A/B-REJECTED alternative: suspects-only shingles (distinct
+    // candidate ids → semi-join → shingle only survivors, both frames
+    // persisted — the decontaminateLarge verify shape). Measured q21
+    // 2.14 → 4.50 s min-of-3 at sf0.1: the extra distinct + semi-join +
+    // two cache materialization barriers cost more than the two streamed
+    // corpus shingle scans they replace (the candidate side broadcasts, so
+    // each scan is one map-side stage). Do not retry without re-measuring.
     val sh = docs.select(id.as("__id"), st.shingleHashes(text, shingleLen).as("__sh"))
     candidates
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
@@ -474,12 +481,20 @@ object Dedup {
     // caching short-circuits recompute but the logical plan still nests one
     // join+union+agg level per pass — by ~10 passes the plan tree (and its
     // EXPLAIN string inside AQE) grows exponentially and OOMs the driver.
+    // Checkpoints are LAZY (eager = false): the plan still truncates to a
+    // LogicalRDD immediately (so the nesting OOM stays designed out and the
+    // self-join below shares ONE physical RDD — not the A/B-rejected
+    // uncheckpointed shared-plan, whose aggregate ran once per join side),
+    // but materialization folds into the pass's single labelSum action
+    // instead of paying a separate driver job per checkpoint — one job per
+    // pass, not three (A/B min-of-3 at sf0.1: q48 6.03 → 5.61 s, q57/q58
+    // bpe rounds −0.2 s each from the same change; q39/q46 within noise).
     // Initialization fuses the first propagation pass: comp₁(v) =
     // min(v, min neighbor) is exactly pass 1 over comp₀ = id, and the
     // groupBy doubles as the distinct-nodes scan — one shuffle saved.
     var labels = bidir.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("comp"))
-      .withColumnRenamed("src", "id").localCheckpoint(true)
+      .withColumnRenamed("src", "id").localCheckpoint(false)
     def labelSum(l: DataFrame): java.math.BigDecimal = {
       val r = l.agg(sum(col("comp").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
@@ -494,7 +509,7 @@ object Dedup {
       val msgs = bidir.as("e").join(labels.as("l"), col("e.src") === col("l.id"))
         .select(col("e.dst").as("id"), col("l.comp"))
       val stepped = labels.unionByName(msgs)
-        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint(true)
+        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint(false)
       // pointer jump (the Hash-to-Min shortcut): follow each label to ITS
       // label — known-distance doubles per pass, so convergence is
       // O(log diameter) passes, not O(diameter) (a chain-shaped dedup
@@ -507,14 +522,14 @@ object Dedup {
       // checkpointed before the self-join: the A/B against an
       // uncheckpointed shared plan measured SLOWER (the aggregate executes
       // once per join side and AQE replans the deeper DAG), so the
-      // shortcut costs one tiny materialization job and one label-frame
-      // join per pass — bought back severalfold by the halved pass count.
+      // shortcut costs one label-frame join per pass — bought back
+      // severalfold by the halved pass count.
       val ptr = stepped.select(col("id").as("__pid"), col("comp").as("__pcomp"))
       val next = stepped
         .join(ptr, col("comp") === col("__pid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("__pcomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       stepped.unpersist()
       val s = labelSum(next)
       labels.unpersist()
@@ -562,9 +577,11 @@ object Dedup {
           .join(e.select("u").distinct(), Seq("u"), "left_semi")
           .limit(1).count() == 0
     }
+    // lazy checkpoints here too: the round's first isStarForest probe
+    // materializes the round's edge set — no separate checkpoint job
     var edges = raw.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var iter = 0
     var converged = isStarForest(edges)
     while (!converged && iter < maxIters) {
@@ -585,7 +602,7 @@ object Dedup {
       val next = large.join(sm, "u").filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(sm.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint(true)
+        .distinct().localCheckpoint(false)
       edges.unpersist()
       edges = next
       converged = isStarForest(edges)

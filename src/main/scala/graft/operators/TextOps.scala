@@ -205,7 +205,10 @@ object TextOps {
       .select(explode(filter(split(lower(text), " "), t => length(t) > 0)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(charSyms(col("w")).as("syms"), col("cnt"))
-    var state = wh.localCheckpoint(true)
+    // lazy checkpoints: the plan still truncates per round (the iterative
+    // plan-nesting rule) but materialization folds into the round's argmax
+    // collect — one driver job per round instead of two
+    var state = wh.localCheckpoint(false)
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var r = 1
     while (r <= merges) {
@@ -220,7 +223,7 @@ object TextOps {
       val (a, b, n) = (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
       out += ((r.toLong, a, b, a + b, n))
       val next = state.select(mergeFold(col("syms"), a, b).as("syms"), col("cnt"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       state.unpersist()
       state = next
       r += 1
@@ -263,7 +266,12 @@ object TextOps {
     val toks = df.select(id.cast("long").as("doc_id"),
       explode(filter(split(lower(text), " "), t => length(t) > 0)).as("w"))
     val cnts = toks.groupBy("w").agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("n"))
+    // total token count derived from the already-aggregated vocabulary
+    // frame, not a third scan of the corpus-sized token lineage: Σc over
+    // cnts == count(toks) exactly, and the groupBy's exchange is shared
+    // (ReuseExchange) — the corpus is split+exploded twice per run (counts,
+    // final join), not three times
+    val total = cnts.agg(sum(col("c")).as("n"))
     val sur = cnts.crossJoin(broadcast(total))
       .select(col("w"), (length(bin(Ann.fdiv(col("n"), col("c")))) - 1)
         .cast("long").as("s"))
