@@ -605,7 +605,14 @@ object EntryQueries {
     val polys = districtPolygons(s)
     val n = Math.min(imageCount(dir), 20000L)
     val batches = 4
-    (0 until batches).foreach { b =>
+    // the batch ingests are INDEPENDENT jobs (distinct batchIds write
+    // distinct data dirs; publish CASes the manifest version and
+    // commitBatch auto-retries the loser) — submitted from a small pool so
+    // one commit's write/stat tail backfills with the next batch's tasks
+    // (guide §2.6 overlap). Result identical: the manifest's batch ORDER
+    // is commit-completion order, but the lineage rollup groups by
+    // batch_id — invariant.
+    runConcurrently(batches) { b =>
       val lo = n * b / batches; val hi = n * (b + 1) / batches
       val images = ImageTable.metaDf(s, lo, hi)
         .withColumn("lon", SpatialOps.phashLon(col("phash")))
@@ -617,6 +624,7 @@ object EntryQueries {
         .select("tile", "image_id", "district", "phash")
       sources.SnapshotTable.commitBatch(joined, table, s"b$b", "tile",
         Seq("image_id", "district"), numPartitions = 8, zOrderRes = 7)
+      ()
     }
     sources.SnapshotTable.lineage(s, table)
       .groupBy("batch_id")
@@ -638,7 +646,8 @@ object EntryQueries {
     val table = tempSnapshotDir("graft_readrange")
     val n = Math.min(imageCount(dir), 20000L)
     val batches = 2
-    (0 until batches).foreach { b =>
+    // independent commits overlapped, as in q27 (guide §2.6)
+    runConcurrently(batches) { b =>
       val lo = n * b / batches; val hi = n * (b + 1) / batches
       val images = ImageTable.metaDf(s, lo, hi)
         .withColumn("lon", SpatialOps.phashLon(col("phash")))
@@ -647,8 +656,28 @@ object EntryQueries {
         .select("tile", "image_id", "phash")
       sources.SnapshotTable.commitBatch(images, table, s"b$b", "tile",
         Seq("image_id"), numPartitions = 8, zOrderRes = 7)
+      ()
     }
     table
+  }
+
+  /** Run `body(0 until n)` on a fixed pool of n threads and wait for all —
+    * the guide-§2.6 overlap for independent Spark jobs (the scheduler
+    * backfills one job's straggler tail with the next job's tasks; FIFO
+    * default is exactly the desired behavior). Job descriptions and other
+    * thread-locals are per-thread, so concurrent jobs stay labeled.
+    * Exceptions rethrow the first cause. */
+  private def runConcurrently(n: Int)(body: Int => Unit): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futs = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = body(i) })
+      }
+      futs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally { pool.shutdown(); () }
   }
 
   /** One res-3 morton subtree of tiles as an inclusive cell range. */
