@@ -74,9 +74,24 @@ object Ann {
   /** Squared L2 distance between a quantized vector column and a centroid
     * literal — exact integer arithmetic (≤ (2·scale)²·dims per row, far from
     * overflow at embedding scale). */
-  private def qDist(q: Column, centroid: Array[Long]): Column = {
-    val c = array(centroid.map(lit): _*)
+  private def qDist(q: Column, centroid: Array[Long]): Column =
+    qDistC(q, array(centroid.map(lit): _*))
+
+  /** Column form of [[qDist]] (centroid already a long-array column). */
+  private def qDistC(q: Column, c: Column): Column =
     aggregate(zip_with(q, c, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Distances of a quantized vector column to EVERY centroid of a
+    * codebook, as one array column: the codebook embeds as a single 2-D
+    * literal array and ONE `transform` lambda computes all k distances —
+    * semantically identical to unrolling k [[qDist]] expressions, but the
+    * expression tree (and its generated code) is k× smaller. The unrolled
+    * form made plan+Janino compile time the dominant cost of every
+    * cold-session k-means/PQ query (q55 cold 12.0 s vs 2.4 s warm at
+    * sf0.1 — the work is trivial, the codegen was not). */
+  private def qDistsAll(q: Column, centroids: Array[Array[Long]]): Column = {
+    val lut = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    transform(lut, c => qDistC(q, c))
   }
 
   /** Floor division of exact integer sums (both engines replicate:
@@ -148,8 +163,7 @@ object Ann {
 
   /** One assignment pass: (id, q, cluster, dist) vs centroid literals. */
   private def assignPass(qv: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
-    val dists = array(centroids.map(c => qDist(col("q"), c)): _*)
-    qv.withColumn("__d", dists)
+    qv.withColumn("__d", qDistsAll(col("q"), centroids))
       .withColumn("dist", array_min(col("__d")))
       // first index of the min == lowest cluster on ties (both engines)
       .withColumn("cluster", expr("array_position(__d, array_min(__d))").cast("long") - 1)
@@ -189,8 +203,7 @@ object Ann {
       centroids: Array[Array[Long]], probes: Int, scale: Int): DataFrame = {
     val q0 = queries.select(qId.as("q_id"), qEmb.as("q_emb"),
       quantize(qEmb, scale).as("q"))
-    val qDists = array(centroids.map(cc => qDist(col("q"), cc)): _*)
-    q0.withColumn("__d", qDists)
+    q0.withColumn("__d", qDistsAll(col("q"), centroids))
       .select(col("q_id"), col("q_emb"), posexplode(col("__d")).as(Seq("bucket", "cd")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cd"), col("bucket"))))
@@ -303,6 +316,21 @@ object Ann {
   private def qdotCols(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** ADC score of a PQ code row against a quantized query: Σ_s
+    * q_sub(s) · codebook[s][codes[s]], folded as ONE lambda over a 3-D
+    * literal LUT instead of m unrolled per-subspace expressions (same
+    * codegen-size rationale as [[qDistsAll]]; long addition is associative,
+    * so the left fold equals the unrolled reduce bit-for-bit). */
+  private def adcScore(qq: Column, codes: Column,
+      codebooks: Array[Array[Array[Long]]], d: Int): Column = {
+    val m = codebooks.length
+    val lut = array(codebooks.map(cb =>
+      array(cb.map(c => array(c.map(lit): _*)): _*)): _*)
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
+      acc + qdotCols(slice(qq, s * d + 1, lit(d)),
+        element_at(element_at(lut, s + 1), (element_at(codes, s + 1) + 1).cast("int"))))
+  }
+
   /** Train product-quantization codebooks (Jégou, Douze & Schmid, TPAMI'11):
     * the `dims`-dim quantized vector splits into `m` contiguous subspaces of
     * `dims/m` dims each, and each subspace gets its own `ks`-centroid
@@ -367,8 +395,7 @@ object Ann {
   private def pqCodeCols(qv: DataFrame, codebooks: Array[Array[Array[Long]]],
       d: Int): DataFrame =
     codebooks.indices.foldLeft(qv) { (df, s) =>
-      df.withColumn(s"__d$s", array(codebooks(s).map(c =>
-          qDist(slice(col("q"), s * d + 1, d), c)): _*))
+      df.withColumn(s"__d$s", qDistsAll(slice(col("q"), s * d + 1, d), codebooks(s)))
         .withColumn(s"__c$s",
           expr(s"array_position(__d$s, array_min(__d$s))").cast("long") - 1)
         .drop(s"__d$s")
@@ -403,11 +430,7 @@ object Ann {
     val d = codebooks(0)(0).length
     val codes = pqEncode(qv, codebooks, d)
     val q = queries.select(qId.as("q_id"), quantize(qEmb, scale).as("qq"))
-    val score = (0 until m).map { s =>
-      val lut = array(codebooks(s).map(c => array(c.map(lit): _*)): _*)
-      qdotCols(slice(col("qq"), s * d + 1, d),
-        element_at(lut, (element_at(col("codes"), s + 1) + 1).cast("int")))
-    }.reduce(_ + _)
+    val score = adcScore(col("qq"), col("codes"), codebooks, d)
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
     codes.crossJoin(broadcast(q))
       .filter(col("id") =!= col("q_id"))
@@ -445,11 +468,7 @@ object Ann {
         array((0 until m).map(s => col(s"__c$s")): _*).as("codes"))
     val probed = probeClusters(queries, qId, qEmb, coarse, probes, scale)
       .withColumn("qq", quantize(col("q_emb"), scale))
-    val score = (0 until m).map { s =>
-      val lut = array(codebooks(s).map(c => array(c.map(lit): _*)): _*)
-      qdotCols(slice(col("qq"), s * d + 1, d),
-        element_at(lut, (element_at(col("codes"), s + 1) + 1).cast("int")))
-    }.reduce(_ + _)
+    val score = adcScore(col("qq"), col("codes"), codebooks, d)
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
     codes.join(broadcast(probed), "bucket")
       .filter(col("id") =!= col("q_id"))

@@ -481,12 +481,18 @@ object SpatialOps {
       radiusDeg: Double, res: Int, scale: Int = 1000,
       algorithm: String = "auto"): DataFrame = {
     val pairs = radiusPairs(df, id, lon, lat, radiusDeg, res, scale)
-    // geometric proximity graphs are bimodal: dense blobs collapse in ≤4
-    // label passes, near-percolation chains need the star fallback anyway —
-    // a short label attempt wastes less before auto switches
+    // autoLabelPasses = 10: with pointer jumping each pass doubles known
+    // distance, so 10 passes cover diameter ≈ 2^10 — geometric proximity
+    // graphs (dense blobs AND the near-percolation chains that predated
+    // the r5 pointer-jump rework) converge inside the label attempt. The
+    // old bound of 4 made `auto` pay 4 wasted label passes PLUS the full
+    // star contraction on the q46 corpus (probe: auto(4) 5.9 s vs
+    // label-converged 3.0 s warm at sf0.1); the star fallback remains the
+    // safety net for truly adversarial graphs. Labels are algorithm-
+    // invariant (comp = component min id), so results are unchanged.
     val comps = graft.operators.Dedup.connectedComponents(
       pairs, col("id_a"), col("id_b"), algorithm = algorithm,
-      autoLabelPasses = 4)
+      autoLabelPasses = 10)
       .withColumnRenamed("id", "__cc_id")
     df.join(comps, id === col("__cc_id"), "left")
       .withColumn("cluster", coalesce(col("comp"), id.cast("long")))
