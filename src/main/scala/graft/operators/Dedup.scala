@@ -62,8 +62,15 @@ object Dedup {
     * subsequent explode spreads across the cluster — per-row and per-task
     * pair volume is bounded by chunkSize² independently of bucket size.
     * Ordering by id across chunks preserves the id_a < id_b orientation. */
+  /** `smallOnly = true` (callers pass it only after PROVING max in-cap
+    * bucket ≤ chunkSize via [[bucketStats]]) omits the chunked branch
+    * entirely: its window + self-join + redistribution exchanges cost
+    * ~0.7 s of serialized empty-stage rounds per invocation even when no
+    * bucket qualifies (probed at sf0.1) — the operator-level analog of
+    * AQE's runtime plan adaptation. */
   private[operators] def chunkPairRows(
-      kept: DataFrame, keyCols: Seq[String], chunkSize: Int): DataFrame = {
+      kept: DataFrame, keyCols: Seq[String], chunkSize: Int,
+      smallOnly: Boolean = false): DataFrame = {
     val keyC = keyCols.map(col)
     val small = kept.filter(col("__bn") <= chunkSize)
       .groupBy(keyC: _*)
@@ -71,6 +78,7 @@ object Dedup {
       .select(keyC ++ Seq(lit(0).as("__cka"), lit(0).as("__ckb"), col("__xa"),
         // intra rows never read __xb (lazy CaseWhen) — ship an empty array
         slice(col("__xa"), 1, 0).as("__xb")): _*)
+    if (smallOnly) return small
     val w = Window.partitionBy(keyC: _*).orderBy(col("x"))
     val chunks = kept.filter(col("__bn") > chunkSize)
       .withColumn("__ck", ((row_number().over(w) - 1).cast("long") / chunkSize).cast("int"))
@@ -85,12 +93,31 @@ object Dedup {
     small.unionByName(large)
   }
 
+  /** One bounded action over the (band, hash) histogram: the number of
+    * over-cap (dropped) buckets and the largest in-cap bucket. Drives two
+    * runtime plan choices that a lazy plan cannot make: (a) skip the
+    * chunked pair machinery when no in-cap bucket exceeds the chunk size —
+    * the overwhelmingly common shape — and (b) attach `n_dropped_buckets`
+    * as a literal instead of a broadcast cross-join. `counts` derives from
+    * the operator's persisted signature frame, so the extra pass re-runs
+    * one map-side-combined count aggregation over cached signatures — a
+    * few percent of the operator's cost at any scale, bought back by the
+    * three exchanges (and their serialized AQE rounds) the common case no
+    * longer plans. */
+  private def bucketStats(counts: DataFrame, maxBucket: Int): (Long, Long) = {
+    val r = counts.agg(
+      count(when(col("__bn") > maxBucket, 1)).as("nd"),
+      max(when(col("__bn") <= maxBucket, col("__bn"))).as("mx")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** [[chunkPairRows]] → exploded (a, b) payload pairs, each unordered pair
     * exactly once per bucket (intra-chunk: strict upper triangle;
     * inter-chunk: full cross product — chunks partition the bucket). */
   private def chunkedBucketPairs(
-      kept: DataFrame, keyCols: Seq[String], chunkSize: Int): DataFrame =
-    chunkPairRows(kept, keyCols, chunkSize)
+      kept: DataFrame, keyCols: Seq[String], chunkSize: Int,
+      smallOnly: Boolean = false): DataFrame =
+    chunkPairRows(kept, keyCols, chunkSize, smallOnly)
       .select(explode(when(col("__cka") === col("__ckb"),
           expr(
             """flatten(transform(__xa, (x, i) ->
@@ -176,8 +203,7 @@ object Dedup {
     // cap; both aggregations shuffle on the same key, so AQE reuses the
     // exchange and the oversized buckets never reach collect_list.
     val counts = banded.groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
-    val dropped = counts.filter(col("__bn") > maxBucket)
-      .agg(count(lit(1)).as("n_dropped_buckets"))
+    val (nDropped, maxInCap) = bucketStats(counts, maxBucket)
     // bucket-and-pair instead of a self-join: one shuffle on (band, bh),
     // ids collected per bucket (sorted for determinism), pairs exploded
     // in-bucket — through the bounded chunk generator, so even an at-cap
@@ -185,7 +211,8 @@ object Dedup {
     val kept = banded
       .join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bh"))
       .select(col("band"), col("bh"), col("__bn"), struct(col("id")).as("x"))
-    val pairs = chunkedBucketPairs(kept, Seq("band", "bh"), chunkSize)
+    val pairs = chunkedBucketPairs(kept, Seq("band", "bh"), chunkSize,
+        smallOnly = maxInCap <= chunkSize)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_bands_matched"))
@@ -203,7 +230,7 @@ object Dedup {
           .cast("double") / perms.toDouble)
       .filter(col("sig_frac") >= minSigFrac)
       .select("id_a", "id_b", "n_bands_matched", "sig_frac")
-      .crossJoin(broadcast(dropped))
+      .withColumn("n_dropped_buckets", lit(nDropped))
   }
 
   /** Exact n-gram Jaccard for candidate pairs (verification pass after LSH):
@@ -716,18 +743,18 @@ object Dedup {
         shiftrightunsigned(col("sig"), off).bitwiseAND(lit(mask))
       }: _*)).as(Seq("band", "bh")))
     val counts = banded.groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
-    val dropped = counts.filter(col("__bn") > maxBucket)
-      .agg(count(lit(1)).as("n_dropped_buckets"))
+    val (nDropped, maxInCap) = bucketStats(counts, maxBucket)
     val kept = banded
       .join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bh"))
       .select(col("band"), col("bh"), col("__bn"), struct(col("id"), col("sig")).as("x"))
-    chunkedBucketPairs(kept, Seq("band", "bh"), chunkSize)
+    chunkedBucketPairs(kept, Seq("band", "bh"), chunkSize,
+        smallOnly = maxInCap <= chunkSize)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.sig"), col("b.sig")).cast("long").as("hamming"))
       .groupBy("id_a", "id_b")
       .agg(first(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .crossJoin(broadcast(dropped))
+      .withColumn("n_dropped_buckets", lit(nDropped))
   }
 
   /** Embedding cosine near-duplicates via BANDED deterministic
@@ -792,8 +819,7 @@ object Dedup {
         shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*))
       .as(Seq("band", "bv")))
     val counts = banded.groupBy("band", "bv").agg(count(lit(1)).as("__bn"))
-    val dropped = counts.filter(col("__bn") > maxBucket)
-      .agg(count(lit(1)).as("n_dropped_buckets"))
+    val (nDropped, maxInCap) = bucketStats(counts, maxBucket)
     // pairs are generated id-only through bounded chunk rows (embeddings
     // would multiply the chunk payload by the vector width; joining them
     // back onto the deduplicated pair set is the skinny-shuffle shape), so
@@ -801,7 +827,8 @@ object Dedup {
     val kept = banded
       .join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bv"))
       .select(col("band"), col("bv"), col("__bn"), struct(col("id")).as("x"))
-    val cand = chunkedBucketPairs(kept, Seq("band", "bv"), chunkSize)
+    val cand = chunkedBucketPairs(kept, Seq("band", "bv"), chunkSize,
+        smallOnly = maxInCap <= chunkSize)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("__nb"))
@@ -810,6 +837,6 @@ object Dedup {
       .join(sigs.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
     verify(cand.withColumn(scoreName, score(col("emb_a"), col("emb_b"))))
       .select(col("id_a"), col("id_b"), col(scoreName))
-      .crossJoin(broadcast(dropped))
+      .withColumn("n_dropped_buckets", lit(nDropped))
   }
 }
