@@ -22,7 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * caller must recount candidates exactly and threshold ([[
   * graft.operators.Sketch.heavyHitters]]): the two-pass output is exact and
   * bit-deterministic, the sketch only bounds WHICH strings can matter.
-  * Candidates return sorted (binary string order) for stable plans.
+  * Candidates return sorted in UTF-16 code-unit order (String.compareTo —
+  * diverges from UTF-8 byte order only for supplementary-plane characters;
+  * the order only stabilizes plans, output sets are order-independent).
   */
 case class MisraGries(
     child: Expression,

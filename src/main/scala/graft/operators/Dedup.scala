@@ -382,9 +382,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheTracker.register(cands)
     // exact verify on suspects only: shingles computed after the semi-join,
-    // so the full corpus never shuffles its text for verification
+    // so the full corpus never shuffles its text for verification (no
+    // distinct on the build side — left_semi never multiplies rows)
     val suspects = corpus
-      .join(cands.select("__cid").distinct(), id === col("__cid"), "left_semi")
+      .join(cands.select("__cid"), id === col("__cid"), "left_semi")
     val sSh = suspects.select(id.as("__cid"),
       st.shingleHashes(text, shingleLen).as("__sh"))
     val eSh = eKeyed.select(col("__eid"),
@@ -400,7 +401,7 @@ object Dedup {
         size(col("__sh")).cast("long") * den >= size(col("__esh")).cast("long") * num &&
         size(col("__esh")).cast("long") * den >= size(col("__sh")).cast("long") * num &&
         st.jaccardSorted(col("__sh"), col("__esh")) >= minJaccard))
-      .select("__cid").distinct()
+      .select("__cid") // no distinct: left_anti below never multiplies rows
     corpus.join(bad, id === col("__cid"), "left_anti")
   }
 

@@ -83,12 +83,18 @@ object Sketch {
 
   /** PER-GROUP exact heavy hitters — [[heavyHitters]]'s guarantee applied
     * within each group key ("per-source dominant terms"): one ≤k-entry MG
-    * state per group map-side, candidates ≤ groups·k rows (broadcast on
-    * the recount — fine while groups·k stays broadcastable; for millions
-    * of groups drop the hint and let AQE pick the join). Same recall
-    * precondition per group; output (grp, w, n) exact. */
+    * state per group map-side, candidates ≤ groups·k rows. Same recall
+    * precondition per group; output (grp, w, n) exact.
+    *
+    * `broadcastCandidates` (default true) broadcast-hints the candidate
+    * set and per-group totals onto the recount — right while groups·k
+    * stays broadcastable. At millions of groups pass false: the hint goes
+    * away and AQE picks the join strategy from the actual sizes (the
+    * docstring previously SAID to drop the hint but the API offered no
+    * way — driver OOM risk at high group cardinality). */
   def heavyHittersByKey(df: DataFrame, group: Column, value: Column,
-                        sketchSize: Int, minPpm: Long): DataFrame = {
+                        sketchSize: Int, minPpm: Long,
+                        broadcastCandidates: Boolean = true): DataFrame = {
     require(sketchSize >= 1, "sketchSize must be >= 1")
     require(minPpm >= 1 && minPpm <= 1000000L, "minPpm in [1, 1e6]")
     require((sketchSize + 1).toLong * minPpm > 1000000L,
@@ -103,10 +109,11 @@ object Sketch {
         MisraGries(Bridge.expression(col("w")), sketchSize).toAggregateExpression())
         .as("c"), count(lit(1)).as("total"))
       .localCheckpoint(true)
+    val hint = (d: DataFrame) => if (broadcastCandidates) broadcast(d) else d
     val cands = sk.select(col("grp"), explode(col("c")).as("w"))
-    v.join(broadcast(cands), Seq("grp", "w"))
+    v.join(hint(cands), Seq("grp", "w"))
       .groupBy("grp", "w").agg(count(lit(1)).as("n"))
-      .join(broadcast(sk.select(col("grp"), col("total"))), Seq("grp"))
+      .join(hint(sk.select(col("grp"), col("total"))), Seq("grp"))
       .where(col("n") * 1000000L >= col("total") * minPpm)
       .select(col("grp"), col("w"), col("n"))
   }

@@ -109,6 +109,12 @@ class SketchSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
       assert(got == exact, s"parts=$parts")
     }
+    // the high-group-cardinality path (no broadcast hint; AQE picks the
+    // join) must produce the identical exact output
+    val noHint = Sketch.heavyHittersByKey(df, col("grp"), col("w"),
+        sketchSize = 7, minPpm = 150000L, broadcastCandidates = false)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(noHint == exact)
     // groups differ: g0's hot item is ~20% of 5000 → in; check at least one
     // group has a winner and at least one group has none at a higher bar
     val high = Sketch.heavyHittersByKey(df, col("grp"), col("w"), 4, 280000L)
