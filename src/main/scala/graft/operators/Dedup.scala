@@ -497,7 +497,10 @@ object Dedup {
     // near-empty blocks pays that many task launches per pass per scan. The
     // count is one cheap action on the already-persisted projection; at
     // scale (≥ ~500k edges/partition) this keeps the session's parallelism.
+    val tE = System.nanoTime()
     val nEdges = e.count()
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(f"[cc] edges count ${(System.nanoTime() - tE) / 1e9}%.2f s n=$nEdges")
     val parts = math.max(1L, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism.toLong,
       nEdges / 500000L + 1L)).toInt
@@ -530,10 +533,14 @@ object Dedup {
     // in-loop the sum comparison is exact: comp values are element-wise
     // non-increasing, so equal sums ⟺ no label changed. Only the empty
     // graph needs a separate check (its sum is vacuously stable).
+    val tI = System.nanoTime()
     var prevSum = labelSum(labels)
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(f"[cc] init labels ${(System.nanoTime() - tI) / 1e9}%.2f s")
     var iter = 0
     var converged = nEdges == 0L
     while (!converged && iter < maxIters) {
+      val tP = System.nanoTime()
       val msgs = bidir.as("e").join(labels.as("l"), col("e.src") === col("l.id"))
         .select(col("e.dst").as("id"), col("l.comp"))
       val stepped = labels.unionByName(msgs)
@@ -552,6 +559,11 @@ object Dedup {
       // once per join side and AQE replans the deeper DAG), so the
       // shortcut costs one label-frame join per pass — bought back
       // severalfold by the halved pass count.
+      // r6 A/B-REJECTED: a DOUBLE pointer jump per pass did not reduce the
+      // pass count on the real dedup graphs (the convergence tail is
+      // gather-hop-bound — the last few minima spread one hop per message
+      // pass along non-tree edges, which jumping cannot shortcut) and
+      // raised per-pass cost 0.33 → 0.47 s. Do not retry.
       val ptr = stepped.select(col("id").as("__pid"), col("comp").as("__pcomp"))
       val next = stepped
         .join(ptr, col("comp") === col("__pid"), "left")
@@ -559,7 +571,11 @@ object Dedup {
           least(col("comp"), coalesce(col("__pcomp"), col("comp"))).as("comp"))
         .localCheckpoint(false)
       stepped.unpersist()
+      val t0 = System.nanoTime()
       val s = labelSum(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] pass ${iter + 1} total ${(System.nanoTime() - tP) / 1e9}%.2f " +
+          f"(sum-action ${(System.nanoTime() - t0) / 1e9}%.2f) s sum=$s")
       labels.unpersist()
       labels = next
       converged = s.compareTo(prevSum) == 0

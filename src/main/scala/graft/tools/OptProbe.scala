@@ -112,6 +112,30 @@ object OptProbe {
       CacheTracker.releaseAll()
     }
 
+    // ---- q48 tail anatomy ----
+    (1 to 2).foreach { i =>
+      val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
+        .persist()
+      time(s"q48 pairs materialize #$i")(println("pairs=" + pairs.count()))
+      val comps = time(s"q48 CC #$i") {
+        val c = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"), algorithm = "auto")
+        c.count(); c
+      }
+      time(s"q48 quality scan #$i") {
+        docs.select(col("doc_id"),
+          graft.operators.TextOps.qualityScoreBp(col("text")).as("q"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"q48 tail #$i") {
+        Dedup.keepBest(
+          docs.select(col("doc_id"),
+            graft.operators.TextOps.qualityScoreBp(col("text")).as("q")),
+          col("doc_id"), col("q"), pairs, col("id_a"), col("id_b")).count()
+      }
+      pairs.unpersist()
+      CacheTracker.releaseAll()
+    }
+
     // ---- q55 stages ----
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     (1 to 2).foreach { i =>
