@@ -116,15 +116,15 @@ object Dedup {
     * inter-chunk: full cross product — chunks partition the bucket). */
   private def chunkedBucketPairs(
       kept: DataFrame, keyCols: Seq[String], chunkSize: Int,
-      smallOnly: Boolean = false): DataFrame =
+      smallOnly: Boolean = false, carry: Seq[String] = Nil): DataFrame =
     chunkPairRows(kept, keyCols, chunkSize, smallOnly)
-      .select(explode(when(col("__cka") === col("__ckb"),
+      .select(carry.map(col) :+ explode(when(col("__cka") === col("__ckb"),
           expr(
             """flatten(transform(__xa, (x, i) ->
               |  transform(slice(__xa, i + 2, size(__xa) - i - 1), y -> struct(x AS a, y AS b))))""".stripMargin))
         .otherwise(
-          expr("flatten(transform(__xa, x -> transform(__xb, y -> struct(x AS a, y AS b))))"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+          expr("flatten(transform(__xa, x -> transform(__xb, y -> struct(x AS a, y AS b))))"))).as("p"): _*)
+      .select(carry.map(col) ++ Seq(col("p.a").as("a"), col("p.b").as("b")): _*)
 
   /** Exact dedup on a content column: keeps the first row (min of `keep`)
     * per distinct content hash. Map-side partial aggregation; one shuffle. */
@@ -764,13 +764,42 @@ object Dedup {
     val kept = banded
       .join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bh"))
       .select(col("band"), col("bh"), col("__bn"), struct(col("id"), col("sig")).as("x"))
-    chunkedBucketPairs(kept, Seq("band", "bh"), chunkSize,
-        smallOnly = maxInCap <= chunkSize)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming(col("a.sig"), col("b.sig")).cast("long").as("hamming"))
-      .groupBy("id_a", "id_b")
-      .agg(first(col("hamming")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    val smallOnly = maxInCap <= chunkSize
+    val ham = hamming(col("a.sig"), col("b.sig")).cast("long")
+    // cross-block dedup: a pair within the Hamming bound can agree on (and
+    // surface from) several blocks. When NO bucket was dropped (known
+    // driver-side from bucketStats; the overwhelmingly common shape), every
+    // agreeing block's bucket is present, so each pair is kept ONLY where
+    // its bucket's block == the pair's FIRST agreeing block — a pure
+    // per-row predicate on the two signatures (the StreamingDedup rule),
+    // replacing a full shuffle of all candidate pairs with a map-side
+    // filter. With drops, a pair's first agreeing block may be the dropped
+    // one while a later block survived — only the groupBy dedup preserves
+    // those pairs, so the drop path keeps it.
+    val deduped =
+      if (nDropped == 0) {
+        val firstBlk = layout.zipWithIndex.foldRight(lit(-1): Column) {
+          case (((off, w), i), els) =>
+            val mask = if (w == 64) -1L else (1L << w) - 1L
+            when(shiftrightunsigned(col("a.sig"), off).bitwiseAND(lit(mask)) ===
+                 shiftrightunsigned(col("b.sig"), off).bitwiseAND(lit(mask)), lit(i))
+              .otherwise(els)
+        }
+        chunkedBucketPairs(kept, Seq("band", "bh"), chunkSize, smallOnly,
+            carry = Seq("band"))
+          .filter(col("band") === firstBlk)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"), ham.as("__h"))
+      } else
+        chunkedBucketPairs(kept, Seq("band", "bh"), chunkSize, smallOnly)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"), ham.as("__h"))
+          .groupBy("id_a", "id_b")
+          .agg(first(col("__h")).as("__h"))
+    deduped
+      .filter(col("__h") <= maxHamming)
+      // when() keeps the column nullable like the first() aggregate it
+      // replaces — the gate compares schemas, not just values
+      .select(col("id_a"), col("id_b"),
+        when(col("__h") >= 0, col("__h")).as("hamming"))
       .withColumn("n_dropped_buckets", lit(nDropped))
   }
 

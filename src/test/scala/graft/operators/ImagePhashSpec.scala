@@ -168,4 +168,30 @@ class ImagePhashSpec extends AnyFunSuite {
       assert(brute.size >= 60, "cluster should produce a dense pair set")
     }
   }
+
+  test("drop path keeps a pair whose FIRST agreeing block's bucket was dropped") {
+    // pair (1,2): identical sigs — they agree on ALL four pigeonhole blocks.
+    // 200 flood ids share the pair's block-0 value (low 16 bits) but carry
+    // unique values in blocks 1-3, so block 0's bucket has 202 members and
+    // is dropped at maxBucket=100 while every flood bucket elsewhere is a
+    // singleton. The first-agreeing-block fast dedup would assign the pair
+    // to the dropped block 0 and lose it — the engine must detect drops and
+    // take the groupBy dedup, emitting the pair exactly once via block 1.
+    val s = 0x0123456789ABCDEFL
+    // blocks 1-3 each get a unique per-id value (and none collides with the
+    // pair's values), so every flood bucket outside block 0 is a singleton
+    val flood = (0 until 200).map { i =>
+      (100L + i, (s & 0xFFFFL) | ((0x1000L + i) << 16) |
+        ((i.toLong + 1) << 32) | ((i.toLong + 7) << 48))
+    }
+    val sigs = Seq((1L, s), (2L, s)) ++ flood
+    val out = Dedup.hammingPairs64(sigs.toDF("id", "sig"), col("id"), col("sig"),
+        maxHamming = 3, maxBucket = 100)
+      .select("id_a", "id_b", "hamming", "n_dropped_buckets")
+      .as[(Long, Long, Long, Long)].collect()
+    CacheTracker.releaseAll()
+    assert(out.count(p => p._1 == 1L && p._2 == 2L) == 1,
+      s"pair (1,2) must survive the dropped first block exactly once: ${out.toSeq}")
+    assert(out.forall(_._4 == 1L), s"exactly block 0's bucket dropped: ${out.toSeq}")
+  }
 }
