@@ -860,25 +860,45 @@ object Dedup {
     val sigs = df.select(id.as("id"), emb.as("emb"), sigExpr.as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheTracker.register(sigs)
-    val banded = sigs.select(col("id"), posexplode(
+    val banded = sigs.select(col("id"), col("sig"), posexplode(
       array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*))
       .as(Seq("band", "bv")))
     val counts = banded.groupBy("band", "bv").agg(count(lit(1)).as("__bn"))
     val (nDropped, maxInCap) = bucketStats(counts, maxBucket)
-    // pairs are generated id-only through bounded chunk rows (embeddings
-    // would multiply the chunk payload by the vector width; joining them
-    // back onto the deduplicated pair set is the skinny-shuffle shape), so
-    // an in-cap hot bucket costs chunkSize²-pair tasks, never one mega-row
+    // pairs are generated id+sig-only through bounded chunk rows (the
+    // EMBEDDINGS would multiply the chunk payload by the vector width;
+    // joining them back onto the deduplicated pair set is the
+    // skinny-shuffle shape — the 64-bit sig rides along because the
+    // first-agreeing-band dedup below reads it, 8 bytes/row, nothing like
+    // the r4-rejected 32-long MinHash payload), so an in-cap hot bucket
+    // costs chunkSize²-pair tasks, never one mega-row
     val kept = banded
       .join(counts.filter(col("__bn") <= maxBucket && col("__bn") > 1), Seq("band", "bv"))
-      .select(col("band"), col("bv"), col("__bn"), struct(col("id")).as("x"))
-    val cand = chunkedBucketPairs(kept, Seq("band", "bv"), chunkSize,
-        smallOnly = maxInCap <= chunkSize)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("__nb"))
-      .drop("__nb")
+      .select(col("band"), col("bv"), col("__bn"), struct(col("id"), col("sig")).as("x"))
+    val smallOnly = maxInCap <= chunkSize
+    // cross-band dedup, as in hammingPairs64: with no dropped buckets each
+    // pair is kept only in its FIRST agreeing band (map-side predicate on
+    // the two sigs); with drops the groupBy dedup preserves pairs whose
+    // first agreeing band was the dropped one
+    val deduped =
+      if (nDropped == 0) {
+        val firstBand = (0 until bands).foldRight(lit(-1): Column) { (b, els) =>
+          when(shiftrightunsigned(col("a.sig"), b * width).bitwiseAND(lit(mask)) ===
+               shiftrightunsigned(col("b.sig"), b * width).bitwiseAND(lit(mask)), lit(b))
+            .otherwise(els)
+        }
+        chunkedBucketPairs(kept, Seq("band", "bv"), chunkSize, smallOnly,
+            carry = Seq("band"))
+          .filter(col("band") === firstBand)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      } else
+        chunkedBucketPairs(kept, Seq("band", "bv"), chunkSize, smallOnly)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("__nb"))
+          .drop("__nb")
+    val cand = deduped
       .join(sigs.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
     verify(cand.withColumn(scoreName, score(col("emb_a"), col("emb_b"))))
