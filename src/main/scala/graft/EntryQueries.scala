@@ -1272,12 +1272,18 @@ object EntryQueries {
     val evalDf = docs.where(col("doc_id") % 97 === 3)
     val corpus = docs.where(col("doc_id") % 97 =!= 3)
     val decon = Dedup.decontaminate(corpus, col("text"), evalDf, col("text"))
-    val keepIds = Dedup.exact(decon, col("text"), col("doc_id"))
-      .select(col("keep_id").as("doc_id"))
+    // exact dedup as a per-text-hash window (row_number = 1 at the minimum
+    // doc_id) — the SAME survivor set Dedup.exact + join-back selects, in
+    // ONE pass over decon: the groupBy+join formulation consumed decon
+    // twice, and the broadcast NL anti scan has no exchange ReuseExchange
+    // could dedupe, so the whole decontamination pass ran twice.
+    val dedupW = Window.partitionBy(md5(col("text").cast("binary")))
+      .orderBy(col("doc_id"))
     // registered so the harness's per-query releaseAll() frees the cached
     // partitions — a bare persist() leaked them for the rest of the session
     val base = graft.operators.CacheTracker.register(
-      decon.join(keepIds, Seq("doc_id")).persist())
+      decon.withColumn("__rn", row_number().over(dedupW))
+        .filter(col("__rn") === 1).drop("__rn").persist())
     val pairs = Dedup.simhashPairs(base, col("doc_id"), col("text"), maxHamming = 3)
     val scored = base.select(col("doc_id"), TextOps.qualityScoreBp(col("text")).as("q"))
     val win = Dedup.keepBest(scored, col("doc_id"), col("q"),
