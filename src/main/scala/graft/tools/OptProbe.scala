@@ -136,6 +136,22 @@ object OptProbe {
       CacheTracker.releaseAll()
     }
 
+    // ---- q21 stage anatomy ----
+    (1 to 2).foreach { i =>
+      val sig = docs.select(col("doc_id").as("id"),
+        graft.functions.st.minhashSig(col("text"), 4, 32).as("sig"))
+      time(s"q21 sig kernel noop #$i")(sig.write.format("noop").mode("overwrite").save())
+      val cands = Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
+      time(s"q21 candidates count #$i")(println("cands=" + cands.count()))
+      CacheTracker.releaseAll()
+      val cands2 = Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
+      time(s"q21 full verify #$i") {
+        Dedup.jaccardVerify(cands2, docs, col("doc_id"), col("text"), minJaccard = 0.6)
+          .count()
+      }
+      CacheTracker.releaseAll()
+    }
+
     // ---- q55 stages ----
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     (1 to 2).foreach { i =>
